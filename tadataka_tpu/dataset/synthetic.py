@@ -1,0 +1,113 @@
+"""Synthetic textured-plane scenes with exact ground truth.
+
+The reference ships 5-frame slices of real datasets as test fixtures
+(/root/reference/tests/dataset/); this framework instead renders procedural
+scenes with analytically exact depth maps and photometric consistency across
+views — a stronger fixture: DVO/semi-dense/BA accuracy can be asserted
+against closed-form ground truth rather than against another estimate.
+
+Geometry: a plane (origin p0, normal n) in world coordinates, painted with a
+smooth multi-frequency texture.  For a camera with pose T_wc (camera->world),
+pixel ray [x, y, 1] intersects the plane at depth
+s = ((p0 - o_w) . n) / (d_w . n), which *is* the pinhole depth since the ray
+z-component is 1.  Rendering is one vmapped expression over the pixel grid —
+no rasterizer, runs on device.
+"""
+
+import math
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from tadataka_tpu.core.coordinates import image_coordinates
+from tadataka_tpu.core.pose import Pose
+from tadataka_tpu.dataset.base import BaseDataset
+from tadataka_tpu.dataset.frame import Frame
+from tadataka_tpu.camera import CameraModel, CameraParameters
+
+
+def default_texture(X, Y):
+    """Smooth, gradient-rich texture on the plane's (X, Y) coordinates."""
+    v = (jnp.sin(1.3 * X) * jnp.cos(1.7 * Y)
+         + 0.5 * jnp.sin(3.1 * X + 0.7) * jnp.sin(2.3 * Y + 1.1)
+         + 0.25 * jnp.cos(7.3 * X - 1.9) * jnp.cos(5.9 * Y + 0.3)
+         + 0.125 * jnp.sin(13.7 * X + 2.7) * jnp.cos(11.1 * Y - 0.8))
+    return 0.5 + 0.25 * v  # roughly [0, 1]
+
+
+class PlaneScene(NamedTuple):
+    plane_origin: jnp.ndarray  # (3,)
+    plane_normal: jnp.ndarray  # (3,), unit
+
+
+def render_plane_scene(camera_model, pose_wc, image_shape,
+                       plane_origin=(0.0, 0.0, 10.0),
+                       plane_normal=(0.0, 0.0, -1.0),
+                       texture: Callable = default_texture):
+    """Render (image, depth_map) for a camera at pose_wc (camera->world)."""
+    p0 = jnp.asarray(plane_origin, dtype=jnp.float32)
+    n = jnp.asarray(plane_normal, dtype=jnp.float32)
+    n = n / jnp.linalg.norm(n)
+
+    H, W = image_shape
+    us = image_coordinates(image_shape)
+    xs = camera_model.normalize(us)              # (H*W, 2)
+    dirs_c = jnp.concatenate(
+        [xs, jnp.ones((xs.shape[0], 1), dtype=xs.dtype)], axis=-1)
+
+    R_wc, t_wc = pose_wc.R, pose_wc.t            # camera -> world
+    o_w = t_wc                                   # camera center in world
+    d_w = dirs_c @ R_wc.T                        # ray directions in world
+
+    denom = d_w @ n
+    s = ((p0 - o_w) @ n) / denom                 # per-pixel depth
+    X_w = o_w + s[:, None] * d_w
+
+    image = texture(X_w[:, 0], X_w[:, 1]).reshape(H, W)
+    depth = s.reshape(H, W)
+    return image, depth
+
+
+def orbit_poses(n_frames, radius=0.4, z_step=0.05, yaw_step=0.01):
+    """A gentle sideways+forward trajectory looking roughly at +z."""
+    poses = []
+    for i in range(n_frames):
+        angle = yaw_step * i
+        rotvec = jnp.array([0.0, angle, 0.0], dtype=jnp.float32)
+        t = jnp.array([radius * math.sin(0.3 * i),
+                       0.02 * i,
+                       z_step * i], dtype=jnp.float32)
+        poses.append(Pose.from_rotvec(rotvec, t))
+    return poses
+
+
+class PlaneSceneDataset(BaseDataset):
+    """n-frame synthetic sequence over the textured plane.
+
+    Frames carry exact poses (camera->world) and exact depth maps; drop-in
+    wherever TUM/NewTsukuba frames are used.
+    """
+
+    def __init__(self, n_frames=6, image_shape=(120, 160),
+                 focal_length=(120.0, 120.0),
+                 plane_origin=(0.0, 0.0, 10.0),
+                 plane_normal=(0.1, -0.05, -1.0),
+                 texture: Callable = default_texture,
+                 poses=None):
+        H, W = image_shape
+        self.length = n_frames
+        self.image_shape = image_shape
+        self.camera_model = CameraModel.create(
+            CameraParameters.create(focal_length, (W / 2.0, H / 2.0)))
+        self.plane_origin = plane_origin
+        self.plane_normal = plane_normal
+        self.texture = texture
+        self.poses = poses if poses is not None else orbit_poses(n_frames)
+        assert len(self.poses) >= n_frames
+
+    def load(self, index):
+        pose = self.poses[index]
+        image, depth = render_plane_scene(
+            self.camera_model, pose, self.image_shape,
+            self.plane_origin, self.plane_normal, self.texture)
+        return Frame(self.camera_model, pose, image, depth)

@@ -1,0 +1,118 @@
+"""Descriptor matching on the MXU.
+
+Parity surface: /root/reference/tadataka/match.py (cross-check + Lowe ratio
+0.8 over a dense distance matrix — the reference's hot spot, computed there
+with sklearn pairwise_distances) and the Matcher pipeline of
+/root/reference/tadataka/feature/feature.py:97-134 (match -> RANSAC
+fundamental inlier filter -> chi^2 symmetric-transfer filter).
+
+TPU design: for +-1 descriptors the Hamming distance matrix is
+(D - A B^T) / 2 — one bf16-friendly matmul with f32 accumulation.  Masked
+argmin replaces boolean compaction; match lists keep static capacity K1.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e9)
+
+
+class Matches(NamedTuple):
+    indices: jnp.ndarray  # (K1, 2) int32 — (index in set 1, index in set 2)
+    mask: jnp.ndarray     # (K1,) bool
+
+    @property
+    def n_valid(self):
+        return jnp.sum(self.mask)
+
+
+@jax.jit
+def hamming_distances(descriptors1, descriptors2):
+    """(K1, K2) Hamming distances between +-1 codes, via the MXU."""
+    D = descriptors1.shape[1]
+    # fast-precision matmul with f32 accumulation: codes are exact in bf16
+    S = jax.lax.dot_general(
+        descriptors1, descriptors2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    return (D - S) * 0.5
+
+
+@jax.jit
+def match_descriptors(descriptors1, descriptors2, mask1, mask2,
+                      cross_check=True, max_ratio=0.8):
+    """Masked mutual-NN + ratio-test matching.  Returns Matches with
+    capacity K1."""
+    dist = hamming_distances(descriptors1, descriptors2)
+    dist = jnp.where(mask1[:, None], dist, _BIG)
+    dist = jnp.where(mask2[None, :], dist, _BIG)
+
+    best2 = jnp.argmin(dist, axis=1)                   # (K1,)
+    best_d = jnp.take_along_axis(dist, best2[:, None], axis=1)[:, 0]
+    valid = mask1 & (best_d < _BIG)
+
+    if cross_check:
+        best1 = jnp.argmin(dist, axis=0)               # (K2,)
+        valid = valid & (best1[best2] == jnp.arange(dist.shape[0]))
+
+    if max_ratio < 1.0:
+        masked = dist.at[jnp.arange(dist.shape[0]), best2].set(_BIG)
+        second_d = jnp.min(masked, axis=1)
+        second_d = jnp.where(second_d == 0.0, jnp.finfo(jnp.float32).eps,
+                             second_d)
+        valid = valid & (best_d / second_d < max_ratio)
+
+    indices = jnp.stack(
+        [jnp.arange(dist.shape[0], dtype=jnp.int32),
+         best2.astype(jnp.int32)], axis=-1)
+    return Matches(indices, valid)
+
+
+class Matcher:
+    """match -> RANSAC(F) -> chi^2 homography filter, capacity-stable.
+
+    Parity: Matcher (/root/reference/tadataka/feature/feature.py:97-134),
+    min_inliers=12 skip semantics included.
+    """
+
+    def __init__(self, enable_ransac=True, enable_homography_filter=True,
+                 seed=3939):
+        self.enable_ransac = enable_ransac
+        self.enable_homography_filter = enable_homography_filter
+        self.key = jax.random.PRNGKey(seed)
+
+    def __call__(self, features1, features2, min_inliers=12):
+        from tadataka_tpu.features.ransac import ransac_fundamental
+        from tadataka_tpu.features.filters import symmetric_transfer_filter
+
+        matches = match_descriptors(
+            features1.descriptors, features2.descriptors,
+            features1.mask, features2.mask)
+
+        kp1 = features1.keypoints[matches.indices[:, 0]]
+        kp2 = features2.keypoints[matches.indices[:, 1]]
+
+        n = matches.n_valid
+        enough = n >= min_inliers
+
+        if self.enable_ransac:
+            _, inlier_mask = ransac_fundamental(
+                kp1, kp2, matches.mask, self.key)
+            matches = Matches(matches.indices,
+                              jnp.where(enough,
+                                        matches.mask & inlier_mask,
+                                        matches.mask))
+
+        if self.enable_homography_filter:
+            filter_mask = symmetric_transfer_filter(
+                kp1, kp2, matches.mask, p=0.95)
+            matches = Matches(matches.indices,
+                              jnp.where(enough,
+                                        matches.mask & filter_mask,
+                                        matches.mask))
+
+        return matches

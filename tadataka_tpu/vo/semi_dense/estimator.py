@@ -1,0 +1,323 @@
+"""Per-pixel epipolar inverse-depth estimation, vmapped over the image.
+
+Parity surface: /root/reference/src/semi_dense/semi_dense.rs (estimate /
+update_depth), epipolar.rs, depth.rs, variance.rs, intensities.rs.
+
+TPU design decisions vs the reference:
+- The epipolar line gets a STATIC sample budget ``n_ref_samples``.  When the
+  geometric range needs more samples than the budget, the step size grows to
+  keep the full +-2 sigma search range covered (the reference instead walks
+  an unbounded dynamic-length line, semi_dense.rs:139).
+- Early exits become a priority chain of flags; every lane computes the full
+  pipeline with numerically-guarded values and the flag decides whether the
+  prior or the new hypothesis is written back.
+- The normalized-SSD template search (intensities.rs:11-37) is a batched
+  sliding-window computation with a masked argmin.
+- The per-pixel age-indexed reference frame (semi_dense.rs:207) becomes a
+  per-lane gather into the stacked refframe history.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tadataka_tpu.flags import Flag
+from tadataka_tpu.core.gradients import sobel_x, sobel_y, gradient1d
+from tadataka_tpu.core.transforms import (
+    get_rotation, get_translation, inv_motion_matrix, to_homogeneous)
+from tadataka_tpu.core.triangulation import calc_depth0
+from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame
+from tadataka_tpu.vo.semi_dense.hypothesis import (
+    check_args_flag, clamped_range)
+from tadataka_tpu.vo.semi_dense.params import (
+    SemiDenseParams, N_KEY_SAMPLES, DEFAULT_N_REF_SAMPLES)
+
+EPSILON = 1e-16
+
+
+def safe_invert(v):
+    return 1.0 / (v + EPSILON)
+
+
+def _normalize_vec(v):
+    n = jnp.linalg.norm(v)
+    return jnp.where(n == 0.0, v, v / jnp.where(n == 0.0, 1.0, n))
+
+
+def _warp_point(T, x, depth):
+    """Normalized coord + depth through a 4x4 transform -> (coord, depth)."""
+    P0 = jnp.array([x[0] * depth, x[1] * depth, depth])
+    P1 = get_rotation(T) @ P0 + get_translation(T)
+    return P1[:2] / (P1[2] + EPSILON), P1[2]
+
+
+def _in_image(u, image_shape):
+    H, W = image_shape
+    return ((0.0 <= u[..., 0]) & (u[..., 0] <= W - 1.0)
+            & (0.0 <= u[..., 1]) & (u[..., 1] <= H - 1.0))
+
+
+def _interp_image(image, coords):
+    """Bilinear sample of a single (H, W) image at (..., 2) [x, y] coords."""
+    H, W = image.shape
+    cx, cy = coords[..., 0], coords[..., 1]
+    lx, ly = jnp.floor(cx), jnp.floor(cy)
+    ax, ay = cx - lx, cy - ly
+    x0 = jnp.clip(lx.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(ly.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    v00, v01 = image[y0, x0], image[y0, x1]
+    v10, v11 = image[y1, x0], image[y1, x1]
+    return ((1 - ax) * (1 - ay) * v00 + ax * (1 - ay) * v01
+            + (1 - ax) * ay * v10 + ax * ay * v11)
+
+
+def _calc_ref_depth(T_rk, x_key, depth_key):
+    """z-row of T_rk applied to the back-projected key point (depth.rs:6)."""
+    p_key = jnp.array([x_key[0] * depth_key, x_key[1] * depth_key, depth_key])
+    return T_rk[2, :3] @ p_key + T_rk[2, 3]
+
+
+def _calc_alpha(T_rk, x_key, depth_range, prior_depth):
+    """d(inverse depth)/d(epipolar position) (variance.rs:54-103)."""
+    min_depth, max_depth = depth_range
+    x_min_ref, _ = _warp_point(T_rk, x_key, min_depth)
+    x_max_ref, _ = _warp_point(T_rk, x_key, max_depth)
+    direction = _normalize_vec(x_max_ref - x_min_ref)
+
+    R = get_rotation(T_rk)
+    t = get_translation(T_rk)
+    x_ref, _ = _warp_point(T_rk, x_key, prior_depth)
+    y = to_homogeneous(x_key)
+
+    def alpha_along(i):
+        d = (R[2] @ y) * t[i] - (R[i] @ y) * t[2]
+        n = x_ref[i] * t[2] - t[i]
+        return direction[i] * d / (n * n + EPSILON)
+
+    use_x = jnp.abs(direction[0]) > jnp.abs(direction[1])
+    return jnp.where(use_x, alpha_along(0), alpha_along(1))
+
+
+def _geo_var(x_key, t_rk, image_grad):
+    """1 / <epipolar direction, image gradient>^2 (variance.rs:30-52)."""
+    epipolar_direction = x_key - t_rk[:2] / (t_rk[2] + EPSILON)
+    d = _normalize_vec(epipolar_direction)
+    g = _normalize_vec(image_grad)
+    p = jnp.dot(d, g)
+    return jnp.where(p == 0.0, 1.0 / EPSILON, 1.0 / (p * p + EPSILON))
+
+
+def _photo_var(gradient):
+    return 2.0 / (gradient + EPSILON)
+
+
+def _ssd_search(ref_intensities, key_intensities, n_valid):
+    """Masked normalized-SSD template match (intensities.rs:11-37).
+
+    ref_intensities: (N,), key_intensities: (K,), n_valid: dynamic count of
+    valid ref samples.  Returns the matched sample index (argmin + K//2).
+    """
+    N = ref_intensities.shape[0]
+    K = key_intensities.shape[0]
+    M = N - K + 1
+    # sliding windows (M, K) via static shifts
+    windows = jnp.stack(
+        [ref_intensities[i:i + M] for i in range(K)], axis=-1)
+    wnorm = jnp.linalg.norm(windows, axis=-1, keepdims=True)
+    windows_n = windows / (wnorm + EPSILON)
+    kernel_n = key_intensities / (jnp.linalg.norm(key_intensities) + EPSILON)
+    errors = jnp.sum((windows_n - kernel_n) ** 2, axis=-1)
+    idx = jnp.arange(M)
+    valid = idx <= n_valid - K
+    errors = jnp.where(valid, errors, jnp.inf)
+    argmin = jnp.argmin(errors)
+    return argmin + K // 2
+
+
+def estimate_pixel(u_key, prior_inv_depth, prior_variance,
+                   T_rk, e_key,
+                   key_focal, key_offset, key_image,
+                   ref_focal, ref_offset, ref_image,
+                   grad_x_map, grad_y_map,
+                   params: SemiDenseParams, n_ref_samples: int):
+    """One pixel's inverse-depth update.  Returns (inv_depth, variance, flag).
+
+    Mirrors estimate() (semi_dense.rs:91-158) as straight-line masked code.
+    """
+    f32 = key_image.dtype
+    key_shape = key_image.shape
+    ref_shape = ref_image.shape
+
+    # prior search range (+-2 sigma clamped)
+    lo, hi = clamped_range(prior_inv_depth, prior_variance,
+                           params.min_inv_depth, params.max_inv_depth)
+    min_depth = safe_invert(hi)
+    max_depth = safe_invert(lo)
+
+    x_key = (u_key - key_offset) / key_focal
+
+    # step ratio: step size on key scales with inverse-depth ratio
+    prior_depth = safe_invert(prior_inv_depth)
+    ref_depth = _calc_ref_depth(T_rk, x_key, prior_depth)
+    flag_neg_ref = ref_depth <= 0.0
+    ratio = prior_inv_depth / safe_invert(jnp.maximum(ref_depth, EPSILON))
+
+    # epipolar segment endpoints on the ref normalized plane
+    x_min_ref, _ = _warp_point(T_rk, x_key, min_depth)
+    x_max_ref, _ = _warp_point(T_rk, x_key, max_depth)
+    ref_direction = x_max_ref - x_min_ref
+    norm = jnp.linalg.norm(ref_direction)
+    ref_dir_unit = ref_direction / (norm + EPSILON)
+
+    # static budget: if the range needs more than n_ref_samples steps,
+    # stretch the step to keep covering the full range (coarser sampling)
+    step = jnp.maximum(params.ref_step_size,
+                       norm / (n_ref_samples - 1))
+    n_samples = jnp.floor(norm / step).astype(jnp.int32)
+
+    # key-side 5-sample patch along the epipolar direction
+    key_step_size = ratio * step
+    d_key = x_key - e_key
+    aligned = jnp.dot(ref_direction, d_key) > 0.0
+    key_dir = jnp.where(aligned, 1.0, -1.0) * _normalize_vec(d_key)
+    steps = jnp.arange(-(N_KEY_SAMPLES // 2), N_KEY_SAMPLES // 2 + 1,
+                       dtype=f32)
+    xs_key = x_key + steps[:, None] * key_step_size * key_dir
+    us_key = xs_key * key_focal + key_offset
+    flag_key_oob = jnp.logical_not(jnp.all(_in_image(us_key, key_shape)))
+
+    key_intensities = _interp_image(key_image, us_key)
+    key_gradient = jnp.linalg.norm(gradient1d(key_intensities))
+    flag_insufficient = key_gradient < params.min_gradient
+
+    # ref-side epipolar samples
+    idx = jnp.arange(n_ref_samples, dtype=f32)
+    xs_ref = x_min_ref + idx[:, None] * step * ref_dir_unit
+    us_ref = xs_ref * ref_focal + ref_offset
+
+    flag_too_short = n_samples < N_KEY_SAMPLES
+    u_close = us_ref[0]
+    x_far = x_min_ref + (n_samples.astype(f32) - 1.0) * step * ref_dir_unit
+    u_far = x_far * ref_focal + ref_offset
+    flag_close_oob = jnp.logical_not(_in_image(u_close, ref_shape))
+    flag_far_oob = jnp.logical_not(_in_image(u_far, ref_shape))
+
+    ref_intensities = _interp_image(ref_image, us_ref)
+    match_idx = _ssd_search(ref_intensities, key_intensities, n_samples)
+    x_ref_match = (x_min_ref
+                   + match_idx.astype(f32) * step * ref_dir_unit)
+
+    key_depth = calc_depth0(T_rk, x_key, x_ref_match)
+    new_inv_depth = safe_invert(key_depth)
+
+    # variance model
+    alpha = _calc_alpha(T_rk, x_key, (min_depth, max_depth), key_depth)
+    t_rk = get_translation(T_rk)
+    ux = jnp.clip(u_key[0].astype(jnp.int32), 0, key_shape[1] - 1)
+    uy = jnp.clip(u_key[1].astype(jnp.int32), 0, key_shape[0] - 1)
+    grad = jnp.stack([grad_x_map[uy, ux], grad_y_map[uy, ux]])
+    geo = _geo_var(x_key, t_rk, grad)
+    photo = _photo_var(key_gradient / (key_step_size + EPSILON))
+    a2 = alpha * alpha
+    variance = a2 * (params.geo_coeff ** 2 * geo
+                     + params.photo_coeff ** 2 * photo)
+
+    result_flag = check_args_flag(new_inv_depth, variance,
+                                  params.min_inv_depth, params.max_inv_depth)
+
+    # priority chain, earliest failure wins (matches reference exit order)
+    flag = result_flag
+    flag = jnp.where(flag_far_oob, jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
+    flag = jnp.where(flag_close_oob,
+                     jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
+    flag = jnp.where(flag_too_short,
+                     jnp.int32(Flag.REF_EPIPOLAR_TOO_SHORT), flag)
+    flag = jnp.where(flag_insufficient,
+                     jnp.int32(Flag.INSUFFICIENT_GRADIENT), flag)
+    flag = jnp.where(flag_key_oob, jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
+    flag = jnp.where(flag_neg_ref, jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
+
+    success = flag == jnp.int32(Flag.SUCCESS)
+    out_inv_depth = jnp.where(success, new_inv_depth, prior_inv_depth)
+    out_variance = jnp.where(success, variance, prior_variance)
+    return out_inv_depth, out_variance, flag
+
+
+def calc_key_epipole(T_wk, T_wr):
+    """Projection of the ref camera center into the keyframe (epipolar.rs:9)."""
+    t_wk = get_translation(T_wk)
+    t_wr = get_translation(T_wr)
+    R_kw = get_rotation(inv_motion_matrix(T_wk))
+    p_key = R_kw @ (t_wr - t_wk)
+    return p_key[:2] / (p_key[2] + EPSILON)
+
+
+@partial(jax.jit, static_argnames=("n_ref_samples",))
+def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
+                 age_map, prior_depth, prior_variance,
+                 params: SemiDenseParams,
+                 n_ref_samples: int = DEFAULT_N_REF_SAMPLES):
+    """Full-map inverse-depth update.
+
+    keyframe: single frame; refframes: stacked history (leading axis R,
+    oldest first).  age selects ``refframes[R - age]`` per pixel
+    (semi_dense.rs:207).  Returns (depth_map, variance_map, flag_map).
+    """
+    H, W = keyframe.image.shape
+    R_frames = refframes.image.shape[0]
+    f32 = keyframe.image.dtype
+
+    T_wk = keyframe.transform_wf
+    # per-refframe relative transform and epipole, precomputed once
+    T_rk_all = jax.vmap(
+        lambda T_wr: inv_motion_matrix(T_wr) @ T_wk)(refframes.transform_wf)
+    e_key_all = jax.vmap(
+        lambda T_wr: calc_key_epipole(T_wk, T_wr))(refframes.transform_wf)
+
+    gx = sobel_x(keyframe.image, mode="zero")
+    gy = sobel_y(keyframe.image, mode="zero")
+
+    xs = jnp.arange(W, dtype=f32)
+    ys = jnp.arange(H, dtype=f32)
+    X, Y = jnp.meshgrid(xs, ys)
+    us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)     # (H*W, 2)
+
+    age = age_map.ravel().astype(jnp.int32)
+    prior_d = prior_depth.ravel().astype(f32)
+    prior_v = prior_variance.ravel().astype(f32)
+    prior_inv = safe_invert(prior_d)
+
+    ridx = jnp.clip(R_frames - age, 0, R_frames - 1)
+
+    def per_pixel(u, p_inv, p_var, a, r):
+        T_rk = T_rk_all[r]
+        e_key = e_key_all[r]
+        ref_focal = refframes.focal_length[r]
+        ref_offset = refframes.offset[r]
+        ref_image = refframes.image[r]
+
+        inv_d, var, flag = estimate_pixel(
+            u, p_inv, p_var, T_rk, e_key,
+            keyframe.focal_length, keyframe.offset, keyframe.image,
+            ref_focal, ref_offset, ref_image,
+            gx, gy, params, n_ref_samples)
+
+        prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
+                                     params.max_inv_depth)
+        prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
+        not_processed = a == 0
+
+        flag = jnp.where(prior_bad, prior_flag, flag)
+        flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
+        keep_prior = jnp.logical_or(not_processed, prior_bad)
+        inv_d = jnp.where(keep_prior, p_inv, inv_d)
+        var = jnp.where(keep_prior, p_var, var)
+        return safe_invert(inv_d), var, flag
+
+    depth, variance, flags = jax.vmap(per_pixel)(
+        us, prior_inv, prior_v, age, ridx)
+    return (depth.reshape(H, W), variance.reshape(H, W),
+            flags.reshape(H, W))

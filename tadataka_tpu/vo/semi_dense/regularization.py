@@ -1,0 +1,36 @@
+"""3x3 inverse-variance-weighted depth smoothing over SUCCESS pixels.
+
+Parity surface: /root/reference/src/semi_dense/regularization.rs (written but
+disabled in the reference, mod.rs:13; enabled here — as two 3x3 box-filter
+convolutions it is nearly free on TPU).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tadataka_tpu.flags import Flag
+from tadataka_tpu.vo.semi_dense.estimator import safe_invert
+
+
+def _box3(x):
+    k = jnp.ones((1, 1, 3, 3), dtype=x.dtype)
+    out = lax.conv_general_dilated(
+        x[None, None], k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+    return out[0, 0]
+
+
+@jax.jit
+def regularize(depth_map, variance_map, flag_map):
+    """Weighted 3x3 smoothing of inverse depth; non-SUCCESS pixels keep
+    their value and contribute nothing."""
+    success = (flag_map == int(Flag.SUCCESS)).astype(depth_map.dtype)
+    inv_depth = safe_invert(depth_map)
+    inv_var = safe_invert(variance_map) * success
+
+    numerator = _box3(inv_depth * inv_var)
+    denominator = _box3(inv_var)
+
+    smoothed = safe_invert(numerator / jnp.maximum(denominator, 1e-12))
+    return jnp.where(denominator > 0, smoothed, depth_map)
