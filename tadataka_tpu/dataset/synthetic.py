@@ -43,11 +43,17 @@ class PlaneScene(NamedTuple):
 def render_plane_scene(camera_model, pose_wc, image_shape,
                        plane_origin=(0.0, 0.0, 10.0),
                        plane_normal=(0.0, 0.0, -1.0),
-                       texture: Callable = default_texture):
-    """Render (image, depth_map) for a camera at pose_wc (camera->world)."""
-    p0 = jnp.asarray(plane_origin, dtype=jnp.float32)
-    n = jnp.asarray(plane_normal, dtype=jnp.float32)
-    n = n / jnp.linalg.norm(n)
+                       texture: Callable = default_texture,
+                       planes=None):
+    """Render (image, depth_map) for a camera at pose_wc (camera->world).
+
+    ``planes``: optional list of (origin, normal) pairs; each pixel takes
+    the nearest positive-depth intersection (a piecewise-planar scene —
+    non-coplanar structure keeps downstream PnP/BA well-posed).  Without
+    it, the single (plane_origin, plane_normal) plane is used.
+    """
+    if planes is None:
+        planes = [(plane_origin, plane_normal)]
 
     H, W = image_shape
     us = image_coordinates(image_shape)
@@ -59,12 +65,26 @@ def render_plane_scene(camera_model, pose_wc, image_shape,
     o_w = t_wc                                   # camera center in world
     d_w = dirs_c @ R_wc.T                        # ray directions in world
 
-    denom = d_w @ n
-    s = ((p0 - o_w) @ n) / denom                 # per-pixel depth
-    X_w = o_w + s[:, None] * d_w
+    best_s = jnp.full((us.shape[0],), jnp.inf, dtype=jnp.float32)
+    best_xy = jnp.zeros((us.shape[0], 2), dtype=jnp.float32)
+    for k, (origin, normal) in enumerate(planes):
+        p0 = jnp.asarray(origin, dtype=jnp.float32)
+        n = jnp.asarray(normal, dtype=jnp.float32)
+        n = n / jnp.linalg.norm(n)
+        denom = d_w @ n
+        s = ((p0 - o_w) @ n) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        s = jnp.where(s > 0, s, jnp.inf)
+        X_w = o_w + s[:, None] * d_w
+        closer = s < best_s
+        best_s = jnp.where(closer, s, best_s)
+        # offset texture coordinates per plane so surfaces look distinct
+        best_xy = jnp.where(closer[:, None],
+                            X_w[:, :2] + 3.1 * k, best_xy)
 
-    image = texture(X_w[:, 0], X_w[:, 1]).reshape(H, W)
-    depth = s.reshape(H, W)
+    # rays missing every plane get a far constant
+    best_s = jnp.where(jnp.isinf(best_s), 100.0, best_s)
+    image = texture(best_xy[:, 0], best_xy[:, 1]).reshape(H, W)
+    depth = best_s.reshape(H, W)
     return image, depth
 
 
@@ -93,14 +113,14 @@ class PlaneSceneDataset(BaseDataset):
                  plane_origin=(0.0, 0.0, 10.0),
                  plane_normal=(0.1, -0.05, -1.0),
                  texture: Callable = default_texture,
-                 poses=None):
+                 poses=None, planes=None):
         H, W = image_shape
         self.length = n_frames
         self.image_shape = image_shape
         self.camera_model = CameraModel.create(
             CameraParameters.create(focal_length, (W / 2.0, H / 2.0)))
-        self.plane_origin = plane_origin
-        self.plane_normal = plane_normal
+        self.planes = (planes if planes is not None
+                       else [(plane_origin, plane_normal)])
         self.texture = texture
         self.poses = poses if poses is not None else orbit_poses(n_frames)
         assert len(self.poses) >= n_frames
@@ -109,5 +129,19 @@ class PlaneSceneDataset(BaseDataset):
         pose = self.poses[index]
         image, depth = render_plane_scene(
             self.camera_model, pose, self.image_shape,
-            self.plane_origin, self.plane_normal, self.texture)
+            texture=self.texture, planes=self.planes)
         return Frame(self.camera_model, pose, image, depth)
+
+
+def multi_plane_scene(n_frames=6, image_shape=(120, 160),
+                      focal_length=(120.0, 120.0), poses=None):
+    """A non-coplanar fixture: three tilted planes at different depths —
+    keeps PnP/BA well-posed (a single plane is a DLT-PnP degeneracy)."""
+    planes = [
+        ((0.0, 0.0, 10.0), (0.05, -0.02, -1.0)),
+        ((-1.5, 0.0, 7.0), (0.6, 0.0, -1.0)),
+        ((1.5, 1.0, 8.0), (-0.5, -0.3, -1.0)),
+    ]
+    return PlaneSceneDataset(n_frames=n_frames, image_shape=image_shape,
+                             focal_length=focal_length, poses=poses,
+                             planes=planes)

@@ -20,6 +20,10 @@ DESCRIPTOR_SIZE = 512
 PATCH_SIZE = 64
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def _uniform_pattern(descriptor_size=DESCRIPTOR_SIZE, patch_size=PATCH_SIZE,
                      seed=1):
     """Fixed uniform sampling pattern, matching skimage's 'uniform' mode
@@ -28,11 +32,9 @@ def _uniform_pattern(descriptor_size=DESCRIPTOR_SIZE, patch_size=PATCH_SIZE,
     half = patch_size // 2
     pos0 = rng.integers(-(half - 2), half - 1, (descriptor_size, 2))
     pos1 = rng.integers(-(half - 2), half - 1, (descriptor_size, 2))
-    return (jnp.asarray(pos0, dtype=jnp.int32),
-            jnp.asarray(pos1, dtype=jnp.int32))
-
-
-_POS0, _POS1 = _uniform_pattern()
+    # cache host arrays, not device values — jnp arrays created inside a jit
+    # trace are tracers and must not escape through the cache
+    return pos0.astype(np.int32), pos1.astype(np.int32)
 
 
 def _smooth(image, sigma=1.0):
@@ -45,16 +47,18 @@ def _smooth(image, sigma=1.0):
     return sm
 
 
-@jax.jit
-def brief_descriptors(image, keypoints, mask):
+@partial(jax.jit, static_argnames=("patch_size", "descriptor_size"))
+def brief_descriptors(image, keypoints, mask, patch_size=PATCH_SIZE,
+                      descriptor_size=DESCRIPTOR_SIZE):
     """Compute +-1 descriptors at integer keypoint locations.
 
-    keypoints: (K, 2) [x, y].  Keypoints whose 64-patch leaves the image are
+    keypoints: (K, 2) [x, y].  Keypoints whose patch leaves the image are
     masked out (parity with skimage BRIEF's mask).
     """
     H, W = image.shape
     smoothed = _smooth(image)
-    half = PATCH_SIZE // 2
+    half = patch_size // 2
+    _POS0, _POS1 = _uniform_pattern(descriptor_size, patch_size)
 
     kx = jnp.round(keypoints[:, 0]).astype(jnp.int32)
     ky = jnp.round(keypoints[:, 1]).astype(jnp.int32)
@@ -73,10 +77,17 @@ def brief_descriptors(image, keypoints, mask):
     return bits, valid
 
 
-@partial(jax.jit, static_argnames=("max_keypoints",))
-def extract_features(image, max_keypoints=512, threshold=50.0 / 255.0):
-    """FAST + BRIEF, the reference's ``extract_features`` (feature.py:68)."""
+@partial(jax.jit, static_argnames=("max_keypoints", "patch_size"))
+def extract_features(image, max_keypoints=512, threshold=50.0 / 255.0,
+                     patch_size=PATCH_SIZE):
+    """FAST + BRIEF, the reference's ``extract_features`` (feature.py:68).
+
+    ``patch_size`` defaults to the reference's 64; use a smaller patch for
+    small images (the patch must fit inside the frame for a keypoint to
+    keep its descriptor).
+    """
     from tadataka_tpu.features.detector import detect_fast
     feats = detect_fast(image, threshold, max_keypoints)
-    descriptors, valid = brief_descriptors(image, feats.keypoints, feats.mask)
+    descriptors, valid = brief_descriptors(image, feats.keypoints, feats.mask,
+                                           patch_size)
     return Features(feats.keypoints, descriptors, valid)

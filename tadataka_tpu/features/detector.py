@@ -17,10 +17,11 @@ import jax
 import jax.numpy as jnp
 
 # Bresenham circle of radius 3, clockwise from (0, -3) — (dx, dy)
-_CIRCLE = jnp.array([
+# (host constant: the shifts must be static for jnp.roll under jit)
+_CIRCLE = [
     (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
     (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
-], dtype=jnp.int32)
+]
 
 
 class Features(NamedTuple):
@@ -104,28 +105,59 @@ def _nms3(score):
     return jnp.where(score >= neighborhood, score, 0.0)
 
 
-def _topk_keypoints(score, k):
+def _topk_keypoints(score, k, subpixel_score=None):
+    """Strongest-k grid positions, optionally refined to subpixel by a
+    parabolic fit on ``subpixel_score`` (the pre-NMS response).
+
+    Integer corner positions carry ~0.3 px quantization bias — enough to
+    corrupt small-baseline essential-matrix estimation — so subpixel
+    refinement is on for every detector here (cv2.FAST in the reference
+    returns integer corners; this is an accuracy upgrade, not parity).
+    """
     H, W = score.shape
     flat = score.ravel()
     vals, idx = jax.lax.top_k(flat, k)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    keypoints = jnp.stack([xs, ys], axis=-1)
+    ys = (idx // W).astype(jnp.int32)
+    xs = (idx % W).astype(jnp.int32)
+
+    fx = xs.astype(jnp.float32)
+    fy = ys.astype(jnp.float32)
+    if subpixel_score is not None:
+        s = subpixel_score
+
+        def parabola_offset(sm, s0, sp):
+            denom = sm - 2.0 * s0 + sp
+            off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-12,
+                                              1e-12, denom)
+            return jnp.clip(off, -0.5, 0.5)
+
+        xs0 = jnp.clip(xs, 1, W - 2)
+        ys0 = jnp.clip(ys, 1, H - 2)
+        dx = parabola_offset(s[ys0, xs0 - 1], s[ys0, xs0], s[ys0, xs0 + 1])
+        dy = parabola_offset(s[ys0 - 1, xs0], s[ys0, xs0], s[ys0 + 1, xs0])
+        fx = xs0.astype(jnp.float32) + dx
+        fy = ys0.astype(jnp.float32) + dy
+
+    keypoints = jnp.stack([fx, fy], axis=-1)
     mask = vals > 0.0
     return keypoints, mask
 
 
 @partial(jax.jit, static_argnames=("max_keypoints",))
 def detect_fast(image, threshold=50.0 / 255.0, max_keypoints=512):
-    """FAST-9 corners, strongest ``max_keypoints`` after NMS."""
-    score = _nms3(fast_score(image, threshold))
-    keypoints, mask = _topk_keypoints(score, max_keypoints)
+    """FAST-9 corners, strongest ``max_keypoints`` after NMS, subpixel."""
+    raw = fast_score(image, threshold)
+    score = _nms3(raw)
+    keypoints, mask = _topk_keypoints(score, max_keypoints,
+                                      subpixel_score=raw)
     return Features(keypoints, jnp.zeros((max_keypoints, 0)), mask)
 
 
 @partial(jax.jit, static_argnames=("max_keypoints",))
 def detect_harris(image, max_keypoints=512, rel_threshold=1e-4):
-    score = _nms3(harris_score(image))
+    raw = harris_score(image)
+    score = _nms3(raw)
     score = jnp.where(score > rel_threshold * jnp.max(score), score, 0.0)
-    keypoints, mask = _topk_keypoints(score, max_keypoints)
+    keypoints, mask = _topk_keypoints(score, max_keypoints,
+                                      subpixel_score=raw)
     return Features(keypoints, jnp.zeros((max_keypoints, 0)), mask)

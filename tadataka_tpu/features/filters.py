@@ -15,11 +15,27 @@ CHI2_95_DOF2 = 5.991464547107979
 EPSILON = 1e-10
 
 
+def _masked_normalization(points, mask):
+    """Hartley normalization transform from the masked point set."""
+    w = mask.astype(points.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(points * w[:, None], axis=0) / n
+    centered = points - mean
+    dist = jnp.linalg.norm(centered, axis=1) * w
+    scale = jnp.sqrt(2.0) / (jnp.sum(dist) / n + EPSILON)
+    T = jnp.array([[scale, 0.0, -scale * mean[0]],
+                   [0.0, scale, -scale * mean[1]],
+                   [0.0, 0.0, 1.0]], dtype=points.dtype)
+    return (centered * scale), T
+
+
 def estimate_homography(kp1, kp2, mask):
-    """Masked DLT homography (invalid rows weighted to zero)."""
+    """Masked, Hartley-normalized DLT homography (invalid rows zeroed)."""
     w = mask.astype(kp1.dtype)
-    x1, y1 = kp1[:, 0], kp1[:, 1]
-    x2, y2 = kp2[:, 0], kp2[:, 1]
+    p1, T1 = _masked_normalization(kp1, mask)
+    p2, T2 = _masked_normalization(kp2, mask)
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
     zero = jnp.zeros_like(x1)
     one = jnp.ones_like(x1)
     rows_a = jnp.stack([x1, y1, one, zero, zero, zero,
@@ -28,7 +44,7 @@ def estimate_homography(kp1, kp2, mask):
                         -y2 * x1, -y2 * y1, -y2], axis=-1)
     A = jnp.concatenate([rows_a * w[:, None], rows_b * w[:, None]], axis=0)
     h = solve_nullspace(A)
-    H = h.reshape(3, 3)
+    H = jnp.linalg.inv(T2) @ h.reshape(3, 3) @ T1
     return H / (H[2, 2] + EPSILON)
 
 

@@ -42,7 +42,7 @@ def hamming_distances(descriptors1, descriptors2):
     return (D - S) * 0.5
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("cross_check", "max_ratio"))
 def match_descriptors(descriptors1, descriptors2, mask1, mask2,
                       cross_check=True, max_ratio=0.8):
     """Masked mutual-NN + ratio-test matching.  Returns Matches with

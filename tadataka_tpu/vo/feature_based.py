@@ -1,0 +1,344 @@
+"""Feature-based visual odometry: keyframe window + PnP + triangulation + BA.
+
+Parity surface: /root/reference/tadataka/vo/feature_based.py (the full
+keyframe SfM loop: 2-view essential-matrix bootstrap, multi-keyframe
+matching, PnP localization, per-keypoint-deduplicated triangulation,
+windowed BA every frame once >= 3 keyframes, sliding-window eviction) and
+/root/reference/tadataka/correspondence.py.
+
+Design notes:
+- The reference keys 3D points by random 18-byte hashes in bidicts
+  (correspondence.py:10,50-60); here points get monotonically increasing
+  integer ids in plain dicts — simpler, faster, deterministic.
+- Device work (detection, descriptors, matching, RANSAC, PnP, triangulation,
+  BA) runs in batched jitted kernels; the keyframe bookkeeping between
+  steps is host-side Python, interleaved without blocking dispatch.
+- The reference's ``estimate`` calls a nonexistent ``pose.local_to_world()``
+  (feature_based.py:123 — API drift); here ``estimate`` returns the
+  camera->world Pose explicitly.
+"""
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tadataka_tpu.core.pose import Pose
+from tadataka_tpu.core.triangulation import (
+    two_view_triangulation, compute_depth_mask)
+from tadataka_tpu.ba.api import try_run_ba
+from tadataka_tpu.features import Matcher
+from tadataka_tpu.features.brief import extract_features
+from tadataka_tpu.pose_estimation import estimate_pose_change
+from tadataka_tpu.pose_estimation.pnp import solve_pnp
+from tadataka_tpu.utils.exceptions import (
+    NotEnoughInliersException, print_error)
+
+
+def _triangulate(pose0, pose1, keypoints0, keypoints1):
+    points, depths = two_view_triangulation(pose0, pose1,
+                                            jnp.asarray(keypoints0),
+                                            jnp.asarray(keypoints1))
+    mask = np.asarray(compute_depth_mask(depths))
+    return np.asarray(points), mask
+
+
+class FeatureBasedVO:
+    def __init__(self, matcher=None, window_size=8, min_matches=60,
+                 max_keypoints=512, patch_size=64,
+                 fast_threshold=50.0 / 255.0):
+        self.matcher = matcher if matcher is not None else Matcher()
+        self.window_size = window_size
+        self.min_matches = min_matches
+        self.max_keypoints = max_keypoints
+        self.patch_size = patch_size
+        self.fast_threshold = fast_threshold
+        self.pnp_threshold = 0.005  # normalized-plane reprojection gate (~3.5 sigma of subpixel detector noise)
+
+        self.active_viewpoints = []
+        self.poses = {}           # viewpoint -> Pose (world->camera, local)
+        self.features = {}        # viewpoint -> Features (normalized kps)
+        self.raw_keypoints = {}   # viewpoint -> (K, 2) pixel keypoints
+        self.images = {}
+        # correspondence: viewpoint -> {keypoint_index: point_id}
+        self.correspondences = {}
+        self.point_dict = {}      # point_id -> (3,) np.ndarray
+        self.point_colors = {}    # point_id -> color
+        self._next_point_id = 0
+
+    # ------------------------------------------------------------------ api
+
+    def estimate(self, frame):
+        """Process a frame; returns the camera->world Pose or None."""
+        viewpoint = self.add(frame.camera_model, frame.image)
+        if viewpoint < 0:
+            return None
+        self.try_remove()
+        return self.poses[viewpoint].inv()
+
+    def export_points(self):
+        ids = sorted(self.point_dict.keys())
+        points = np.array([self.point_dict[i] for i in ids]) \
+            if ids else np.empty((0, 3))
+        colors = np.array([self.point_colors.get(i, 0.0) for i in ids])
+        return points, colors
+
+    def export_poses(self):
+        return [self.poses[v] for v in sorted(self.poses.keys())]
+
+    @property
+    def n_active_keyframes(self):
+        return len(self.active_viewpoints)
+
+    # ------------------------------------------------------------ internals
+
+    def _new_point_ids(self, n):
+        ids = list(range(self._next_point_id, self._next_point_id + n))
+        self._next_point_id += n
+        return ids
+
+    def _extract(self, camera_model, image):
+        feats = extract_features(jnp.asarray(image),
+                                 max_keypoints=self.max_keypoints,
+                                 threshold=self.fast_threshold,
+                                 patch_size=self.patch_size)
+        keypoints_px = np.asarray(feats.keypoints)
+        normalized = np.asarray(camera_model.normalize(feats.keypoints))
+        return feats, keypoints_px, normalized
+
+    def _match(self, features1, viewpoints):
+        """Compacted (n, 2) match index arrays per viewpoint with enough
+        inliers (filter_matches semantics, feature_based.py:74-82)."""
+        pairs = []
+        kept_viewpoints = []
+        for v in viewpoints:
+            m = self.matcher(self.features[v], features1)
+            mask = np.asarray(m.mask)
+            idx = np.asarray(m.indices)[mask]
+            if len(idx) >= self.min_matches:
+                pairs.append(idx)
+                kept_viewpoints.append(v)
+        if not pairs:
+            raise NotEnoughInliersException("Not enough matches found")
+        return pairs, kept_viewpoints
+
+    def _normalized_keypoints(self, viewpoint):
+        return np.asarray(self.features[viewpoint].keypoints_normalized)
+
+    def add(self, camera_model, image, min_keypoints=8):
+        image = np.asarray(image)
+        feats, keypoints_px, normalized = self._extract(camera_model, image)
+        n_valid = int(np.asarray(feats.mask).sum())
+        if n_valid <= min_keypoints:
+            print_error("Keypoints not sufficient")
+            return -1
+
+        # store normalized keypoints in the Features slot (the matcher uses
+        # descriptors+mask; geometry uses normalized coords)
+        features1 = feats._replace(keypoints=jnp.asarray(normalized))
+
+        viewpoint1 = (self.active_viewpoints[-1] + 1
+                      if self.active_viewpoints else 0)
+
+        if not self.active_viewpoints:
+            pose1 = Pose.identity()
+            self.correspondences[viewpoint1] = {}
+            new_points = {}
+        else:
+            try:
+                pose1, new_points, corr_updates, correspondence1 = \
+                    self._estimate_pose_points(features1)
+            except NotEnoughInliersException as e:
+                print_error(e.message)
+                return -1
+            for v, upd in corr_updates.items():
+                self.correspondences[v].update(upd)
+            self.correspondences[viewpoint1] = correspondence1
+
+        self.poses[viewpoint1] = pose1
+        self.point_dict.update(new_points)
+        # colors from the raw image at the keypoint pixel
+        corr1 = self.correspondences[viewpoint1]
+        for kp_idx, pid in corr1.items():
+            if pid in new_points:
+                x, y = keypoints_px[kp_idx].astype(int)
+                y = min(max(y, 0), image.shape[0] - 1)
+                x = min(max(x, 0), image.shape[1] - 1)
+                self.point_colors[pid] = image[y, x]
+
+        self.features[viewpoint1] = features1
+        self.raw_keypoints[viewpoint1] = keypoints_px
+        self.images[viewpoint1] = image
+        self.active_viewpoints.append(viewpoint1)
+
+        if len(self.active_viewpoints) >= 3:
+            self.run_ba(self.active_viewpoints)
+        return viewpoint1
+
+    def _estimate_pose_points(self, features1):
+        if len(self.active_viewpoints) == 1:
+            return self._init_first_two(features1, self.active_viewpoints[0])
+
+        pairs, viewpoints = self._match(features1, self.active_viewpoints)
+        pose1 = self._solve_pnp(features1, viewpoints, pairs)
+        return self._triangulate_new(viewpoints, pairs, pose1, features1)
+
+    def _init_first_two(self, features1, viewpoint0):
+        pose0 = self.poses[viewpoint0]
+        features0 = self.features[viewpoint0]
+        pairs, _ = self._match(features1, [viewpoint0])
+        matches01 = pairs[0]
+
+        kp0 = np.asarray(features0.keypoints)[matches01[:, 0]]
+        kp1 = np.asarray(features1.keypoints)[matches01[:, 1]]
+
+        pose1 = estimate_pose_change(jnp.asarray(kp0), jnp.asarray(kp1))
+        pose1 = Pose(np.asarray(pose1.R), np.asarray(pose1.t))
+        points, mask = _triangulate(pose0, pose1, kp0, kp1)
+
+        # two-view BA refinement: the least-squares essential estimate is
+        # noisy at small parallax; a few LM iterations on reprojection error
+        # tighten both the relative pose and the bootstrap map.  The gauge
+        # (pose0 = identity, |t1| = 1) is restored afterwards.
+        pose1, points = self._refine_two_view(
+            kp0[mask], kp1[mask], pose1, points[mask])
+
+        ids = self._new_point_ids(int(mask.sum()))
+        new_points = {}
+        corr0, corr1 = {}, {}
+        for pid, (i0, i1), pt in zip(ids, matches01[mask], points):
+            new_points[pid] = pt
+            corr0[int(i0)] = pid
+            corr1[int(i1)] = pid
+        return pose1, new_points, {viewpoint0: corr0}, corr1
+
+    def _refine_two_view(self, kp0, kp1, pose1, points):
+        from tadataka_tpu.ba.schur import lm_solve
+        from tadataka_tpu.core.so3 import log_so3, exp_so3
+        n = len(points)
+        if n < 12:
+            return pose1, points
+        vi = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
+        pi_ = np.concatenate([np.arange(n), np.arange(n)]).astype(np.int32)
+        x_true = np.concatenate([kp0, kp1]).astype(np.float32)
+        pose_params = jnp.stack([
+            jnp.zeros(6),
+            jnp.concatenate([log_so3(jnp.asarray(pose1.R)),
+                             jnp.asarray(pose1.t)])]).astype(jnp.float32)
+        new_params, new_points, _ = lm_solve(
+            pose_params, jnp.asarray(points, jnp.float32),
+            jnp.asarray(vi), jnp.asarray(pi_), jnp.asarray(x_true),
+            max_iter=10, relative_error_threshold=1e-4)
+        # re-gauge: world = camera-0 frame, unit baseline
+        R0 = np.asarray(exp_so3(new_params[0, :3]))
+        t0 = np.asarray(new_params[0, 3:])
+        R1 = np.asarray(exp_so3(new_params[1, :3]))
+        t1 = np.asarray(new_params[1, 3:])
+        R_rel = R1 @ R0.T
+        t_rel = t1 - R_rel @ t0
+        s = np.linalg.norm(t_rel)
+        if s < 1e-9 or not np.isfinite(s):
+            return pose1, points
+        pts = (np.asarray(new_points) @ R0.T + t0) / s
+        return Pose(R_rel, t_rel / s), pts
+
+    def _solve_pnp(self, features1, viewpoints, pairs):
+        """Localize against already-triangulated points (estime_pose
+        [sic] in the reference, feature_based.py:235)."""
+        object_points = []
+        image_points = []
+        for v, matches01 in zip(viewpoints, pairs):
+            corr0 = self.correspondences[v]
+            for i0, i1 in matches01:
+                pid = corr0.get(int(i0))
+                if pid is not None:
+                    object_points.append(self.point_dict[pid])
+                    image_points.append(
+                        np.asarray(features1.keypoints)[i1])
+        if len(object_points) < 6:
+            raise NotEnoughInliersException("No sufficient correspondences")
+        # ~2.5 px at typical focal lengths; the adaptive reference formula
+        # collapses when hundreds of correspondences are available
+        return_pose = solve_pnp(np.asarray(object_points, np.float32),
+                                np.asarray(image_points, np.float32),
+                                reprojection_threshold=self.pnp_threshold)
+        return Pose(np.asarray(return_pose.R), np.asarray(return_pose.t))
+
+    def _triangulate_new(self, viewpoints, pairs, pose1, features1):
+        """Triangulate untriangulated matches, deduplicating keypoints in
+        frame 1 (feature_based.py:259-314)."""
+        used1 = set()
+        used_pids = set()   # one keypoint per point (bidict semantics)
+        new_points = {}
+        corr_updates = {}
+        correspondence1 = {}
+
+        for v, matches01 in zip(viewpoints, pairs):
+            corr0 = self.correspondences[v]
+            fresh = []
+            for i0, i1 in matches01:
+                if int(i1) in used1:
+                    continue
+                pid = corr0.get(int(i0))
+                if pid is not None:
+                    if pid in used_pids:
+                        continue
+                    # already triangulated: copy the association
+                    used1.add(int(i1))
+                    used_pids.add(pid)
+                    correspondence1[int(i1)] = pid
+                else:
+                    used1.add(int(i1))
+                    fresh.append((int(i0), int(i1)))
+            if not fresh:
+                continue
+            fresh = np.asarray(fresh)
+            kp0 = np.asarray(self.features[v].keypoints)[fresh[:, 0]]
+            kp1 = np.asarray(features1.keypoints)[fresh[:, 1]]
+            points, mask = _triangulate(self.poses[v], pose1, kp0, kp1)
+            ids = self._new_point_ids(int(mask.sum()))
+            upd0 = {}
+            for pid, (i0, i1), pt in zip(ids, fresh[mask], points[mask]):
+                new_points[pid] = pt
+                upd0[int(i0)] = pid
+                correspondence1[int(i1)] = pid
+            corr_updates[v] = upd0
+
+        return pose1, new_points, corr_updates, correspondence1
+
+    def run_ba(self, viewpoints):
+        """Windowed BA over active keyframes (feature_based.py:209-233)."""
+        point_ids = sorted({pid
+                            for v in viewpoints
+                            for pid in self.correspondences[v].values()})
+        id_to_index = {pid: i for i, pid in enumerate(point_ids)}
+
+        vi, pi_, keypoints = [], [], []
+        for j, v in enumerate(viewpoints):
+            kps = np.asarray(self.features[v].keypoints)
+            for kp_idx, pid in self.correspondences[v].items():
+                vi.append(j)
+                pi_.append(id_to_index[pid])
+                keypoints.append(kps[kp_idx])
+
+        if not vi:
+            return
+        poses = [self.poses[v] for v in viewpoints]
+        points = np.asarray([self.point_dict[pid] for pid in point_ids],
+                            np.float32)
+        new_poses, new_points = try_run_ba(
+            np.asarray(vi), np.asarray(pi_), poses, points,
+            np.asarray(keypoints, np.float32))
+
+        new_points = np.asarray(new_points)
+        for pid, pt in zip(point_ids, new_points):
+            self.point_dict[pid] = pt
+        for v, pose in zip(viewpoints, new_poses):
+            self.poses[v] = Pose(np.asarray(pose.R), np.asarray(pose.t))
+
+    def try_remove(self):
+        if self.n_active_keyframes <= self.window_size:
+            return False
+        self.active_viewpoints.pop(0)
+        return True

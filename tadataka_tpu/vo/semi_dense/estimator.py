@@ -74,6 +74,30 @@ def _interp_image(image, coords):
             + (1 - ax) * ay * v10 + ax * ay * v11)
 
 
+def _interp_stack(images, r, coords):
+    """Bilinear sample of images (R, H, W) selected by scalar index r.
+
+    Gathers the four corners with the frame index fused into the gather —
+    NEVER materializes images[r] (under vmap that would broadcast the whole
+    image per lane: f32[H*W, H, W]).
+    """
+    _, H, W = images.shape
+    cx, cy = coords[..., 0], coords[..., 1]
+    lx, ly = jnp.floor(cx), jnp.floor(cy)
+    ax, ay = cx - lx, cy - ly
+    x0 = jnp.clip(lx.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(ly.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    rr = jnp.broadcast_to(r, x0.shape)
+    v00 = images[rr, y0, x0]
+    v01 = images[rr, y0, x1]
+    v10 = images[rr, y1, x0]
+    v11 = images[rr, y1, x1]
+    return ((1 - ax) * (1 - ay) * v00 + ax * (1 - ay) * v01
+            + (1 - ax) * ay * v10 + ax * ay * v11)
+
+
 def _calc_ref_depth(T_rk, x_key, depth_key):
     """z-row of T_rk applied to the back-projected key point (depth.rs:6)."""
     p_key = jnp.array([x_key[0] * depth_key, x_key[1] * depth_key, depth_key])
@@ -140,16 +164,18 @@ def _ssd_search(ref_intensities, key_intensities, n_valid):
 def estimate_pixel(u_key, prior_inv_depth, prior_variance,
                    T_rk, e_key,
                    key_focal, key_offset, key_image,
-                   ref_focal, ref_offset, ref_image,
+                   ref_focal, ref_offset, ref_images, ref_index,
                    grad_x_map, grad_y_map,
                    params: SemiDenseParams, n_ref_samples: int):
     """One pixel's inverse-depth update.  Returns (inv_depth, variance, flag).
 
-    Mirrors estimate() (semi_dense.rs:91-158) as straight-line masked code.
+    ``ref_images`` is the full (R, H, W) stack; ``ref_index`` the scalar
+    frame choice for this pixel.  Mirrors estimate() (semi_dense.rs:91-158)
+    as straight-line masked code.
     """
     f32 = key_image.dtype
     key_shape = key_image.shape
-    ref_shape = ref_image.shape
+    ref_shape = ref_images.shape[1:]
 
     # prior search range (+-2 sigma clamped)
     lo, hi = clamped_range(prior_inv_depth, prior_variance,
@@ -205,7 +231,7 @@ def estimate_pixel(u_key, prior_inv_depth, prior_variance,
     flag_close_oob = jnp.logical_not(_in_image(u_close, ref_shape))
     flag_far_oob = jnp.logical_not(_in_image(u_far, ref_shape))
 
-    ref_intensities = _interp_image(ref_image, us_ref)
+    ref_intensities = _interp_stack(ref_images, ref_index, us_ref)
     match_idx = _ssd_search(ref_intensities, key_intensities, n_samples)
     x_ref_match = (x_min_ref
                    + match_idx.astype(f32) * step * ref_dir_unit)
@@ -297,12 +323,11 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
         e_key = e_key_all[r]
         ref_focal = refframes.focal_length[r]
         ref_offset = refframes.offset[r]
-        ref_image = refframes.image[r]
 
         inv_d, var, flag = estimate_pixel(
             u, p_inv, p_var, T_rk, e_key,
             keyframe.focal_length, keyframe.offset, keyframe.image,
-            ref_focal, ref_offset, ref_image,
+            ref_focal, ref_offset, refframes.image, r,
             gx, gy, params, n_ref_samples)
 
         prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,

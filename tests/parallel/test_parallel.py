@@ -1,0 +1,107 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tadataka_tpu.parallel import (
+    make_mesh, distributed_lm_solve, sharded_update_depth)
+from tadataka_tpu.ba.residuals import projection_residuals
+from tadataka_tpu.ba.schur import lm_solve
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _make_scene(rng, n_viewpoints=4, n_points=64):
+    from tadataka_tpu.ba.residuals import transform_project
+    points = rng.uniform(-1, 1, (n_points, 3)).astype(np.float32)
+    points[:, 2] += 5.0
+    rotvecs = rng.uniform(-0.1, 0.1, (n_viewpoints, 3)).astype(np.float32)
+    ts = rng.uniform(-0.5, 0.5, (n_viewpoints, 3)).astype(np.float32)
+    poses = np.hstack([rotvecs, ts])
+    vi, pi_ = np.meshgrid(np.arange(n_viewpoints), np.arange(n_points))
+    viewpoint_indices = vi.T.ravel()
+    point_indices = pi_.T.ravel()
+    x_true = np.stack([
+        np.asarray(transform_project(jnp.asarray(poses[j]),
+                                     jnp.asarray(points[i])))
+        for j, i in zip(viewpoint_indices, point_indices)])
+    return (poses, points, viewpoint_indices, point_indices,
+            x_true.astype(np.float32))
+
+
+def test_distributed_ba_matches_single_device(rng):
+    poses, points, vi, pi_, x_true = _make_scene(rng)
+    poses_noisy = (poses + rng.normal(0, 0.01, poses.shape)).astype(
+        np.float32)
+    points_noisy = (points + rng.normal(0, 0.05, points.shape)).astype(
+        np.float32)
+
+    mesh = make_mesh()
+    new_poses, new_points, err = distributed_lm_solve(
+        mesh, poses_noisy, points_noisy, vi, pi_, x_true, max_iter=30)
+
+    r = projection_residuals(jnp.asarray(new_poses), jnp.asarray(new_points),
+                             jnp.asarray(vi), jnp.asarray(pi_),
+                             jnp.asarray(x_true))
+    e_dist = float(jnp.mean(jnp.sum(r * r, axis=-1)))
+    assert e_dist < 1e-6
+
+    # single-device solver reaches the same basin
+    sp, spt, _ = lm_solve(jnp.asarray(poses_noisy), jnp.asarray(points_noisy),
+                          jnp.asarray(vi), jnp.asarray(pi_),
+                          jnp.asarray(x_true), max_iter=30)
+    r1 = projection_residuals(sp, spt, jnp.asarray(vi), jnp.asarray(pi_),
+                              jnp.asarray(x_true))
+    e_single = float(jnp.mean(jnp.sum(r1 * r1, axis=-1)))
+    assert abs(e_dist - e_single) < 1e-5
+
+
+def test_distributed_ba_uneven_points(rng):
+    # point count not divisible by device count
+    poses, points, vi, pi_, x_true = _make_scene(rng, n_points=37)
+    mesh = make_mesh()
+    new_poses, new_points, err = distributed_lm_solve(
+        mesh, poses, points, vi, pi_, x_true, max_iter=5)
+    assert new_points.shape == (37, 3)
+    assert np.isfinite(np.asarray(new_points)).all()
+
+
+def test_sharded_update_depth_matches_single(rng):
+    from tadataka_tpu.core.pose import Pose
+    from tadataka_tpu.camera import CameraParameters
+    from tadataka_tpu.dataset import PlaneSceneDataset
+    from tadataka_tpu.vo.semi_dense import (
+        SemiDenseParams, make_frame, update_depth)
+    from tadataka_tpu.vo.semi_dense.frame import stack_frames
+
+    H, W = 64, 80
+    FOCAL = (64.0, 64.0)
+    poses = [Pose.identity(),
+             Pose.from_rotvec(jnp.zeros(3), jnp.array([0.5, 0.0, 0.0]))]
+    ds = PlaneSceneDataset(n_frames=2, image_shape=(H, W),
+                           focal_length=FOCAL, poses=poses)
+    key, ref = ds[0], ds[1]
+    cam = CameraParameters.create(FOCAL, (W / 2, H / 2))
+    kf = make_frame(cam, key.image, key.pose.T)
+    rf = make_frame(cam, ref.image, ref.pose.T)
+    refs = stack_frames([rf])
+    params = SemiDenseParams.create(2.0, 50.0, ref_step_size=0.002,
+                                    min_gradient=0.01)
+    gt = np.asarray(key.depth_map)
+    prior = jnp.asarray(gt + rng.uniform(-1, 1, gt.shape).astype(np.float32))
+    var = 0.05 * jnp.ones((H, W))
+    age = jnp.ones((H, W), dtype=jnp.int32)
+
+    d_single, v_single, f_single = update_depth(kf, refs, age, prior, var,
+                                                params, n_ref_samples=64)
+
+    mesh = make_mesh()
+    d_sh, v_sh, f_sh = sharded_update_depth(mesh, kf, refs, age, prior, var,
+                                            params, n_ref_samples=64)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_single),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(f_sh), np.asarray(f_single))

@@ -1,0 +1,74 @@
+"""Feature-based VO end-to-end on the synthetic plane scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tadataka_tpu.core.pose import Pose
+from tadataka_tpu.dataset import PlaneSceneDataset
+from tadataka_tpu.metrics import absolute_trajectory_error
+from tadataka_tpu.vo.feature_based import FeatureBasedVO
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    # richer texture frequency for corner detection; moderate baseline
+    poses = [Pose.from_rotvec(jnp.array([0.0, 0.002 * i, 0.0]),
+                              jnp.array([0.25 * i, 0.01 * i, 0.02 * i]))
+             for i in range(5)]
+    from tadataka_tpu.dataset.synthetic import multi_plane_scene
+    ds = multi_plane_scene(n_frames=5, image_shape=(120, 160),
+                           focal_length=(120.0, 120.0), poses=poses)
+    return ds
+
+
+def test_feature_based_vo_trajectory(sequence):
+    vo = FeatureBasedVO(window_size=8, min_matches=12,
+                        max_keypoints=512, patch_size=24,
+                        fast_threshold=0.02)
+    estimated = []
+    gt = []
+    for i in range(len(sequence)):
+        frame = sequence[i]
+        pose = vo.estimate(frame)
+        assert pose is not None, f"frame {i} failed"
+        estimated.append(np.asarray(pose.t))
+        gt.append(np.asarray(frame.pose.t))
+
+    estimated = np.asarray(estimated)
+    gt = np.asarray(gt)
+
+    # trajectory is estimated up to scale: compare after Umeyama alignment
+    ate = float(absolute_trajectory_error(jnp.asarray(estimated),
+                                          jnp.asarray(gt)))
+    extent = np.linalg.norm(gt[-1] - gt[0])
+    # regression gate: the low-parallax synthetic scene (baseline/depth
+    # ~1/30) is at the edge of 2-view SfM observability; tightening this
+    # bound is tracked for the guided-matching upgrade
+    assert ate < 0.25 * extent, (ate, extent, estimated, gt)
+    # the first relative motion must at least recover the right direction
+    d_est = estimated[1] / np.linalg.norm(estimated[1])
+    d_gt = gt[1] / np.linalg.norm(gt[1])
+    assert float(d_est @ d_gt) > 0.95, (d_est, d_gt)
+
+
+def test_feature_based_vo_exports(sequence):
+    vo = FeatureBasedVO(window_size=8, min_matches=12, max_keypoints=512,
+                        patch_size=24, fast_threshold=0.02)
+    for i in range(3):
+        vo.estimate(sequence[i])
+    points, colors = vo.export_points()
+    assert len(points) > 20
+    # plane scene: triangulated points lie near the plane z ~= 10 (in the
+    # first keyframe's coordinates, which is the VO world frame)
+    assert np.median(points[:, 2]) > 0
+    poses = vo.export_poses()
+    assert len(poses) == 3
+
+
+def test_window_eviction(sequence):
+    vo = FeatureBasedVO(window_size=2, min_matches=12, max_keypoints=512,
+                        patch_size=24, fast_threshold=0.02)
+    for i in range(4):
+        vo.estimate(sequence[i])
+    assert vo.n_active_keyframes == 2
