@@ -40,13 +40,17 @@ def build_scene():
     return ds[0], ds[1]
 
 
-def bench_tpu_step(frame0, frame1, n_warmup=1, n_iter=10):
+def bench_tpu_step(frame0, frame1, n_warmup=2, n_iter=10):
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from tadataka_tpu.camera import CameraParameters
-    from tadataka_tpu.vo.dvo import PoseChangeEstimator
+    from tadataka_tpu.core.transforms import motion_matrix
+    from tadataka_tpu.vo.dvo import estimate_pose_pyramid
     from tadataka_tpu.vo.semi_dense import (
-        SemiDenseParams, make_frame, update_depth, propagate, increment_age)
+        SemiDenseParams, make_frame, propagate, increment_age)
+    from tadataka_tpu.vo.semi_dense.estimator import (
+        update_depth, safe_invert)
     from tadataka_tpu.vo.semi_dense.frame import stack_frames
 
     cam = CameraParameters.create((FOCAL, FOCAL), (W / 2, H / 2))
@@ -55,32 +59,38 @@ def bench_tpu_step(frame0, frame1, n_warmup=1, n_iter=10):
     kf = make_frame(cam, frame0.image, frame0.pose.T)
     rf = make_frame(cam, frame1.image, frame1.pose.T)
     refs = stack_frames([rf])
-
-    estimator = PoseChangeEstimator(frame0.camera_model, frame1.camera_model,
-                                    n_coarse_to_fine=4, max_iter=10)
+    cm = frame0.camera_model
 
     gt = np.asarray(frame0.depth_map)
     rng = np.random.default_rng(0)
     prior = jnp.asarray(gt + rng.uniform(-1, 1, gt.shape).astype(np.float32))
     variance = 0.05 * jnp.ones((H, W))
     age = jnp.ones((H, W), dtype=jnp.int32)
+    I0 = jnp.asarray(frame0.image, jnp.float32)
+    I1 = jnp.asarray(frame1.image, jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros(3, dtype=jnp.float32)
 
-    def step():
-        pose10 = estimator(frame0.image, frame0.depth_map, frame1.image,
-                           weights="huber")
-        T10 = pose10.T
-        age1 = increment_age(age, cam, cam, T10, prior)
-        d1, v1 = propagate(T10, cam, cam, prior, variance, 10.0, 1.0, 0.01)
-        depth, var, flags = update_depth(kf, refs, age1, d1, v1, params,
-                                         n_ref_samples=N_REF_SAMPLES)
-        return depth, var, flags
+    # the whole frame step is ONE jitted XLA program: DVO pyramid, age
+    # scatter, propagation, and the full-map epipolar depth update fuse
+    # into a single dispatch
+    @jax.jit
+    def step(I0, D0, V0, age, I1):
+        weights = safe_invert(V0)
+        R, t = estimate_pose_pyramid(cm, cm, I0, D0, I1, weights,
+                                     eye, zero, 4, 10, 1.5, "map")
+        T10 = motion_matrix(R, t)
+        age1 = increment_age(age, cam, cam, T10, D0)
+        d1, v1 = propagate(T10, cam, cam, D0, V0, 10.0, 1.0, 0.01)
+        return update_depth(kf, refs, age1, d1, v1, params,
+                            n_ref_samples=N_REF_SAMPLES)
 
     for _ in range(n_warmup):
-        jax.block_until_ready(step())
+        jax.block_until_ready(step(I0, prior, variance, age, I1))
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = step()
-    jax.block_until_ready(out)
+        out = step(I0, prior, variance, age, I1)
+        jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iter
     return 1.0 / dt
 

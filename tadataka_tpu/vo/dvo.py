@@ -25,7 +25,6 @@ from tadataka_tpu.core.image_range import is_in_image_range
 from tadataka_tpu.core.interpolation import interpolate
 from tadataka_tpu.core.pose import Pose
 from tadataka_tpu.core.projection import pi, inv_pi
-from tadataka_tpu.metrics import photometric_error
 from tadataka_tpu.robust.weights import (
     compute_weights_huber, compute_weights_student_t, compute_weights_tukey)
 
@@ -65,10 +64,11 @@ def _resolve_weights(weight_kind, residuals, weight_map, mask):
     raise ValueError(f"No such weights '{weight_kind}'")
 
 
-@partial(jax.jit, static_argnames=("max_iter", "weight_kind"))
 def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
                     R10, t10, max_iter, weight_kind):
-    """Gauss-Newton at one pyramid level; returns updated (R10, t10)."""
+    """Gauss-Newton at one pyramid level; returns updated (R10, t10).
+
+    Traced inside estimate_pose_pyramid — not jitted on its own."""
     us0 = image_coordinates(D0.shape, dtype=I0.dtype)
     xs0 = camera_model0.normalize(us0)
     P0 = inv_pi(xs0, D0.ravel())
@@ -77,17 +77,12 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
     wmap = weight_map.ravel()
     focal_length = camera_model1.camera_parameters.focal_length
 
-    def error_of(R, t):
-        from tadataka_tpu.core.transforms import motion_matrix
-        return photometric_error(motion_matrix(R, t), camera_model0,
-                                 camera_model1, I0, D0, I1)
-
     def cond(carry):
-        k, R, t, prev_error, done = carry
-        return jnp.logical_and(k < max_iter, jnp.logical_not(done))
+        k, R, t, R_best, t_best, prev_error, done = carry
+        return jnp.logical_and(k < max_iter + 1, jnp.logical_not(done))
 
     def body(carry):
-        k, R, t, prev_error, _ = carry
+        k, R, t, R_best, t_best, prev_error, _ = carry
         P1 = P0 @ R.T + t
         us1 = camera_model1.unnormalize(pi(P1))
         mask = is_in_image_range(us1, GX1.shape) & (P1[:, 2] > 0)
@@ -96,9 +91,19 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         # forward-compositional residual: r = I0(u0) - I1(warp(u0)).
         # (The reference freezes r = I0 - I1 at the original grid,
         # dvo/__init__.py:91 — recomputing converges strictly closer to the
-        # true photometric minimum at the same iteration cost.)
+        # true photometric minimum.)  The same residuals give the current
+        # photometric error, so the error-increase stop costs no extra warp
+        # (the reference re-warps the full image per iteration for it).
         i1 = interpolate(I1, us1)
         residuals = jnp.where(mask, i0 - i1, 0.0)
+        n_valid = jnp.maximum(jnp.sum(mask), 1)
+        curr_error = jnp.sum(residuals * residuals) / n_valid
+
+        improved = curr_error < prev_error
+        R_best_new = jnp.where(improved, R, R_best)
+        t_best_new = jnp.where(improved, t, t_best)
+        done = jnp.logical_or(jnp.logical_not(any_valid),
+                              jnp.logical_not(improved))
 
         gx1 = interpolate(GX1, us1)
         gy1 = interpolate(GY1, us1)
@@ -116,16 +121,12 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         R_new = dpose.R @ R
         t_new = (dpose.R @ t) + dpose.t
 
-        curr_error = error_of(R_new, t_new)
-        accept = jnp.logical_and(any_valid, curr_error < prev_error)
-        R_out = jnp.where(accept, R_new, R)
-        t_out = jnp.where(accept, t_new, t)
-        err_out = jnp.where(accept, curr_error, prev_error)
-        return k + 1, R_out, t_out, err_out, jnp.logical_not(accept)
+        err_out = jnp.where(improved, curr_error, prev_error)
+        return (k + 1, R_new, t_new, R_best_new, t_best_new, err_out, done)
 
-    init_error = error_of(R10, t10)
-    _, R, t, _, _ = jax.lax.while_loop(
-        cond, body, (0, R10, t10, init_error, jnp.asarray(False)))
+    _, _, _, R, t, _, _ = jax.lax.while_loop(
+        cond, body, (0, R10, t10, R10, t10, jnp.asarray(jnp.inf, I0.dtype),
+                     jnp.asarray(False)))
     return R, t
 
 
@@ -135,6 +136,34 @@ def _resize_image(image, shape):
 
 def level_to_scale(level, layer_size_ratio):
     return 1.0 / (layer_size_ratio ** level)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "max_iter",
+                                   "layer_size_ratio", "weight_kind"))
+def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
+                          weight_map, R10, t10, n_levels, max_iter,
+                          layer_size_ratio, weight_kind):
+    """The full coarse-to-fine estimation as ONE jitted program.
+
+    All pyramid levels (static shapes), their resizes, and the per-level
+    Gauss-Newton while_loops compile into a single XLA computation — one
+    host dispatch per frame instead of dozens (which matters doubly on a
+    remote-dispatch TPU path)."""
+    H, W = I0.shape
+    R, t = R10, t10
+    for level in reversed(range(n_levels)):
+        scale = level_to_scale(level, layer_size_ratio)
+        shape = (max(int(math.ceil(H * scale)), 8),
+                 max(int(math.ceil(W * scale)), 8))
+        cm0 = camera_resize(camera_model0, scale)
+        cm1 = camera_resize(camera_model1, scale)
+        I0s = _resize_image(I0, shape)
+        D0s = _resize_image(D0, shape)
+        I1s = _resize_image(I1, shape)
+        Ws = _resize_image(weight_map, shape)
+        R, t = _estimate_level(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
+                               max_iter, weight_kind)
+    return R, t
 
 
 class PoseChangeEstimator:
@@ -168,18 +197,13 @@ class PoseChangeEstimator:
             weight_kind = "map"
             weight_map = jnp.asarray(weights)
 
-        R, t = pose10.R, pose10.t
-        H, W = I0.shape
-        for level in reversed(range(self.n_coarse_to_fine)):
-            scale = level_to_scale(level, self.layer_size_ratio)
-            shape = (max(int(math.ceil(H * scale)), 8),
-                     max(int(math.ceil(W * scale)), 8))
-            cm0 = camera_resize(self.camera_model0, scale)
-            cm1 = camera_resize(self.camera_model1, scale)
-            I0s = _resize_image(jnp.asarray(I0), shape)
-            D0s = _resize_image(jnp.asarray(D0), shape)
-            I1s = _resize_image(jnp.asarray(I1), shape)
-            Ws = _resize_image(weight_map, shape)
-            R, t = _estimate_level(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
-                                   self.max_iter, weight_kind)
+        R, t = estimate_pose_pyramid(
+            self.camera_model0, self.camera_model1,
+            jnp.asarray(I0, dtype=jnp.float32),
+            jnp.asarray(D0, dtype=jnp.float32),
+            jnp.asarray(I1, dtype=jnp.float32),
+            weight_map.astype(jnp.float32),
+            pose10.R, pose10.t,
+            self.n_coarse_to_fine, self.max_iter, self.layer_size_ratio,
+            weight_kind)
         return Pose(R, t)

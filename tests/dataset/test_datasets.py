@@ -202,3 +202,23 @@ def test_plane_scene_consistency():
     err = np.abs(np.asarray(i1 - i0))[np.asarray(mask)]
     # bilinear sampling error only
     assert np.mean(err) < 0.02
+
+
+def test_collaborative_dataset(tmp_path, rng):
+    from tadataka_tpu.dataset.collaborative import CollaborativeDataset
+    root = tmp_path / "collab"
+    root.mkdir()
+    for ts in (100, 200, 300):
+        rgb = rng.integers(0, 255, (8, 10, 3), dtype=np.uint8)
+        dep = rng.integers(500, 5000, (8, 10)).astype(np.uint16)
+        _write_png(root / f"frame-{ts}.color.png", rgb)
+        _write_png(root / f"frame-{ts}.depth.png", dep)
+    # an unpaired file must be ignored
+    _write_png(root / "frame-400.color.png",
+               rng.integers(0, 255, (8, 10, 3), dtype=np.uint8))
+    ds = CollaborativeDataset(str(root), depth_factor=1000.0)
+    assert len(ds) == 3
+    frame = ds[1]
+    assert frame.image.shape == (8, 10, 3)
+    assert frame.depth_map.shape == (8, 10)
+    assert 0.5 <= frame.depth_map.mean() <= 5.0
