@@ -130,6 +130,75 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
     return R, t
 
 
+def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
+                       R10, t10, max_iter, weight_kind):
+    """Inverse-compositional Gauss-Newton at one pyramid level.
+
+    Baker-Matthews IC: the 2x6 Jacobian lives on the TEMPLATE (frame 0)
+    and is computed once per level; each iteration costs one bilinear
+    sample of I1 plus a (N, 6) reduction — a 3x cut in gather traffic vs
+    the forward-compositional loop, which is the dominant cost on TPU
+    (XLA's random-access gather runs far below HBM bandwidth).
+    The pose increment composes on the template side:
+    pose10 <- pose10 * exp(xi)^-1.
+    """
+    us0 = image_coordinates(D0.shape, dtype=I0.dtype)
+    xs0 = camera_model0.normalize(us0)
+    P0 = inv_pi(xs0, D0.ravel())
+    GX0, GY0 = np_gradient_2d(I0)
+    gx0 = GX0.ravel()
+    gy0 = GY0.ravel()
+    i0 = I0.ravel()
+    wmap = weight_map.ravel()
+    focal_length = camera_model0.camera_parameters.focal_length
+
+    # template-side Jacobian, once per level (identity warp, points in
+    # frame-0 coordinates)
+    J = calc_jacobian(focal_length, gx0, gy0,
+                      P0.at[:, 2].set(jnp.maximum(P0[:, 2], 1e-6)))
+
+    def cond(carry):
+        k, R, t, R_best, t_best, prev_error, done = carry
+        return jnp.logical_and(k < max_iter + 1, jnp.logical_not(done))
+
+    def body(carry):
+        k, R, t, R_best, t_best, prev_error, _ = carry
+        P1 = P0 @ R.T + t
+        us1 = camera_model1.unnormalize(pi(P1))
+        mask = is_in_image_range(us1, I1.shape) & (P1[:, 2] > 0)
+        any_valid = jnp.any(mask)
+
+        i1 = interpolate(I1, us1)
+        residuals = jnp.where(mask, i1 - i0, 0.0)   # IC sign convention
+        n_valid = jnp.maximum(jnp.sum(mask), 1)
+        curr_error = jnp.sum(residuals * residuals) / n_valid
+
+        improved = curr_error < prev_error
+        R_best_new = jnp.where(improved, R, R_best)
+        t_best_new = jnp.where(improved, t, t_best)
+        done = jnp.logical_or(jnp.logical_not(any_valid),
+                              jnp.logical_not(improved))
+
+        w = _resolve_weights(weight_kind, residuals, wmap, mask)
+        Jw = J * w[:, None]
+        JtJ = Jw.T @ J
+        Jtr = Jw.T @ residuals
+        xi = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(6, dtype=JtJ.dtype), Jtr)
+
+        # inverse composition: warp <- warp o exp(xi)^-1
+        dpose = Pose.from_se3(xi).inv()
+        R_new = R @ dpose.R
+        t_new = (R @ dpose.t) + t
+
+        err_out = jnp.where(improved, curr_error, prev_error)
+        return (k + 1, R_new, t_new, R_best_new, t_best_new, err_out, done)
+
+    _, _, _, R, t, _, _ = jax.lax.while_loop(
+        cond, body, (0, R10, t10, R10, t10, jnp.asarray(jnp.inf, I0.dtype),
+                     jnp.asarray(False)))
+    return R, t
+
+
 def _resize_image(image, shape):
     return jax.image.resize(image, shape, method="linear")
 
@@ -139,10 +208,11 @@ def level_to_scale(level, layer_size_ratio):
 
 
 @partial(jax.jit, static_argnames=("n_levels", "max_iter",
-                                   "layer_size_ratio", "weight_kind"))
+                                   "layer_size_ratio", "weight_kind",
+                                   "method"))
 def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
                           weight_map, R10, t10, n_levels, max_iter,
-                          layer_size_ratio, weight_kind):
+                          layer_size_ratio, weight_kind, method="ic"):
     """The full coarse-to-fine estimation as ONE jitted program.
 
     All pyramid levels (static shapes), their resizes, and the per-level
@@ -151,6 +221,7 @@ def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
     remote-dispatch TPU path)."""
     H, W = I0.shape
     R, t = R10, t10
+    level_fn = _estimate_level_ic if method == "ic" else _estimate_level
     for level in reversed(range(n_levels)):
         scale = level_to_scale(level, layer_size_ratio)
         shape = (max(int(math.ceil(H * scale)), 8),
@@ -161,8 +232,8 @@ def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
         D0s = _resize_image(D0, shape)
         I1s = _resize_image(I1, shape)
         Ws = _resize_image(weight_map, shape)
-        R, t = _estimate_level(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
-                               max_iter, weight_kind)
+        R, t = level_fn(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
+                        max_iter, weight_kind)
     return R, t
 
 
@@ -175,12 +246,17 @@ class PoseChangeEstimator:
     """
 
     def __init__(self, camera_model0, camera_model1,
-                 n_coarse_to_fine=5, max_iter=20, layer_size_ratio=1.5):
+                 n_coarse_to_fine=5, max_iter=20, layer_size_ratio=1.5,
+                 method="ic"):
+        """method: "ic" (inverse compositional, 3x fewer image samples per
+        iteration) or "fc" (forward compositional, the reference's
+        formulation with per-iteration re-linearization)."""
         self.camera_model0 = camera_model0
         self.camera_model1 = camera_model1
         self.n_coarse_to_fine = n_coarse_to_fine
         self.max_iter = max_iter
         self.layer_size_ratio = layer_size_ratio
+        self.method = method
 
     def __call__(self, I0, D0, I1, weights=None, pose10=None):
         assert I0.shape == D0.shape == I1.shape
@@ -205,5 +281,5 @@ class PoseChangeEstimator:
             weight_map.astype(jnp.float32),
             pose10.R, pose10.t,
             self.n_coarse_to_fine, self.max_iter, self.layer_size_ratio,
-            weight_kind)
+            weight_kind, self.method)
         return Pose(R, t)

@@ -26,10 +26,12 @@ def scene():
 
 
 @pytest.mark.parametrize("weights", [None, "tukey", "student-t", "huber"])
-def test_dvo_beats_identity_and_approaches_gt(scene, weights):
+@pytest.mark.parametrize("method", ["ic", "fc"])
+def test_dvo_beats_identity_and_approaches_gt(scene, weights, method):
     dataset, frame0, frame1, pose10_gt = scene
     estimator = PoseChangeEstimator(frame0.camera_model, frame1.camera_model,
-                                    n_coarse_to_fine=4, max_iter=20)
+                                    n_coarse_to_fine=4, max_iter=20,
+                                    method=method)
     pose10 = estimator(frame0.image, frame0.depth_map, frame1.image,
                        weights=weights)
 
