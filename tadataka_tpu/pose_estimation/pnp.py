@@ -20,6 +20,7 @@ from tadataka_tpu.core.solvers import solve_nullspace
 
 DEFAULT_TRIALS = 128
 MIN_CORRESPONDENCES = 6
+EPNP_SAMPLES = 5
 GN_ITERATIONS = 15
 
 
@@ -94,19 +95,32 @@ def _refine_gauss_newton(R, t, points, keypoints, weights, n_iter):
     return jax.lax.fori_loop(0, n_iter, body, (R, t))
 
 
-@partial(jax.jit, static_argnames=("n_trials",))
+@partial(jax.jit, static_argnames=("n_trials", "method"))
 def solve_pnp_ransac(points, keypoints, mask, key,
-                     reprojection_threshold=None, n_trials=DEFAULT_TRIALS):
-    """RANSAC-DLT + GN refinement.  Returns (Pose, inlier_mask)."""
+                     reprojection_threshold=None, n_trials=DEFAULT_TRIALS,
+                     method="epnp"):
+    """RANSAC + GN refinement.  Returns (Pose, inlier_mask).
+
+    method: "epnp" (5-point minimal samples, the reference's cv2 EPnP
+    flag, pose.py:85) or "dlt" (6-point DLT camera-matrix fit).
+    """
     from tadataka_tpu.features.ransac import _sample_valid_indices
+    from tadataka_tpu.pose_estimation.epnp import epnp_pose
 
     if reprojection_threshold is None:
         reprojection_threshold = calc_reprojection_threshold(keypoints)
 
-    samples = _sample_valid_indices(key, mask, n_trials, MIN_CORRESPONDENCES)
+    if method == "epnp":
+        fit, n_samples = epnp_pose, EPNP_SAMPLES
+    elif method == "dlt":
+        fit, n_samples = _dlt_pose, MIN_CORRESPONDENCES
+    else:
+        raise ValueError(f"unknown PnP method: {method}")
+
+    samples = _sample_valid_indices(key, mask, n_trials, n_samples)
 
     def trial(sample_idx):
-        R, t = _dlt_pose(points[sample_idx], keypoints[sample_idx])
+        R, t = fit(points[sample_idx], keypoints[sample_idx])
         err = _reprojection_errors(R, t, points, keypoints)
         inliers = mask & (err < reprojection_threshold)
         return R, t, jnp.sum(inliers)

@@ -159,3 +159,46 @@ def test_viz_headless(rng):
     assert fig is not None
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_animation_viewers_headless():
+    from tadataka_tpu.viz import (VOAnimation, FeatureVOAnimation,
+                                  TrajectoryOrbitAnimation)
+    from tadataka_tpu.apps.dvo_trajectory import DvoTrajectory
+    from tadataka_tpu.dataset import PlaneSceneDataset
+
+    ds = PlaneSceneDataset(n_frames=3, image_shape=(48, 64),
+                           focal_length=(48.0, 48.0))
+    est = DvoTrajectory(ds.camera_model, n_coarse_to_fine=2, max_iter=3)
+    anim = VOAnimation(est, ds)
+    for i in range(3):
+        anim.update(i)
+    assert anim.trajectory_pred.shape == (3, 3)
+    assert anim.animate() is not None
+
+    # orbit view over the recorded trajectories
+    orbit = TrajectoryOrbitAnimation(anim.trajectory_true,
+                                     anim.trajectory_pred)
+    orbit.update(45)
+    assert orbit.animate(frames=4) is not None
+
+    # feature VO drawer drives through the same protocol with a stub
+    class _StubVO:
+        def __init__(self):
+            self.n = 0
+
+        def estimate(self, frame):
+            from tadataka_tpu.core.pose import Pose
+            self.n += 1
+            return Pose.from_rotvec(jnp.zeros(3),
+                                    jnp.array([0.1 * self.n, 0.0, 0.0]))
+
+        def export_points(self):
+            return np.ones((5, 3)) * self.n
+
+    fanim = FeatureVOAnimation(_StubVO(), ds)
+    for i in range(3):
+        fanim.update(i)
+    assert fanim.trajectory.shape == (3, 3)
+    import matplotlib.pyplot as plt
+    plt.close("all")
