@@ -72,6 +72,50 @@ def match_descriptors(descriptors1, descriptors2, mask1, mask2,
     return Matches(indices, valid)
 
 
+@partial(jax.jit, static_argnames=("cross_check", "max_ratio"))
+def match_descriptors_guided(descriptors1, descriptors2, mask1, mask2,
+                             predicted2, keypoints2, radius,
+                             cross_check=True, max_ratio=0.9):
+    """Spatially-gated matching: candidate j in set 2 is admissible for
+    descriptor i only if ``keypoints2[j]`` lies within ``radius`` of
+    ``predicted2[i]`` (the projection of i's 3D point into image 2).
+
+    This is the guided search of ORB-SLAM-style local-map tracking — an
+    upgrade over the reference's global brute-force matching: the spatial
+    gate removes most repetitive-texture ambiguity, so low-parallax frames
+    keep far more correct associations.  On TPU the gate is one extra
+    (K1, K2) distance matrix fused into the same masked-argmin program.
+    """
+    dist = hamming_distances(descriptors1, descriptors2)
+    dist = jnp.where(mask1[:, None], dist, _BIG)
+    dist = jnp.where(mask2[None, :], dist, _BIG)
+
+    diff = predicted2[:, None, :] - keypoints2[None, :, :]
+    sq = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.where(sq <= radius * radius, dist, _BIG)
+
+    best2 = jnp.argmin(dist, axis=1)
+    best_d = jnp.take_along_axis(dist, best2[:, None], axis=1)[:, 0]
+    valid = mask1 & (best_d < _BIG)
+
+    if cross_check:
+        best1 = jnp.argmin(dist, axis=0)
+        valid = valid & (best1[best2] == jnp.arange(dist.shape[0]))
+
+    if max_ratio < 1.0:
+        masked = dist.at[jnp.arange(dist.shape[0]), best2].set(_BIG)
+        second_d = jnp.min(masked, axis=1)
+        # a second-best outside the gate (=_BIG) means "unambiguous"
+        ratio_ok = (second_d >= _BIG) | (best_d / jnp.maximum(
+            second_d, jnp.finfo(jnp.float32).eps) < max_ratio)
+        valid = valid & ratio_ok
+
+    indices = jnp.stack(
+        [jnp.arange(dist.shape[0], dtype=jnp.int32),
+         best2.astype(jnp.int32)], axis=-1)
+    return Matches(indices, valid)
+
+
 class Matcher:
     """match -> RANSAC(F) -> chi^2 homography filter, capacity-stable.
 

@@ -107,7 +107,10 @@ class FeatureVOAnimation:
         pose = self.vo.estimate(frame)
         if pose is not None:
             self.trajectory = np.vstack([self.trajectory, _np(pose.t)[None]])
-        points = _np(self.vo.export_points())
+        points = self.vo.export_points()
+        if isinstance(points, tuple):  # (points, colors)
+            points = points[0]
+        points = _np(points)
         if points.size:
             self.points._offsets3d = (points[:, 0], points[:, 1],
                                       points[:, 2])

@@ -47,7 +47,7 @@ def _triangulate(pose0, pose1, keypoints0, keypoints1):
 class FeatureBasedVO:
     def __init__(self, matcher=None, window_size=8, min_matches=60,
                  max_keypoints=512, patch_size=64,
-                 fast_threshold=50.0 / 255.0):
+                 fast_threshold=50.0 / 255.0, guided_radius=0.02):
         self.matcher = matcher if matcher is not None else Matcher()
         self.window_size = window_size
         self.min_matches = min_matches
@@ -55,6 +55,10 @@ class FeatureBasedVO:
         self.patch_size = patch_size
         self.fast_threshold = fast_threshold
         self.pnp_threshold = 0.005  # normalized-plane reprojection gate (~3.5 sigma of subpixel detector noise)
+        # guided local-map tracking: spatial search window (normalized
+        # coords) for re-associating map points after the first PnP;
+        # None disables (reference behavior: global matching only)
+        self.guided_radius = guided_radius
 
         self.active_viewpoints = []
         self.poses = {}           # viewpoint -> Pose (world->camera, local)
@@ -182,7 +186,18 @@ class FeatureBasedVO:
 
         pairs, viewpoints = self._match(features1, self.active_viewpoints)
         pose1 = self._solve_pnp(features1, viewpoints, pairs)
-        return self._triangulate_new(viewpoints, pairs, pose1, features1)
+        guided_assoc = {}
+        if self.guided_radius is not None:
+            pose1, guided_assoc = self._guided_localize(features1, pose1)
+        pose1, new_points, corr_updates, correspondence1 = \
+            self._triangulate_new(viewpoints, pairs, pose1, features1)
+        # absorb guided associations that don't conflict with triangulation
+        used_pids = set(correspondence1.values())
+        for i1, pid in guided_assoc.items():
+            if i1 not in correspondence1 and pid not in used_pids:
+                correspondence1[i1] = pid
+                used_pids.add(pid)
+        return pose1, new_points, corr_updates, correspondence1
 
     def _init_first_two(self, features1, viewpoint0):
         pose0 = self.poses[viewpoint0]
@@ -242,6 +257,68 @@ class FeatureBasedVO:
             return pose1, points
         pts = (np.asarray(new_points) @ R0.T + t0) / s
         return Pose(R_rel, t_rel / s), pts
+
+    def _guided_localize(self, features1, pose1):
+        """Local-map tracking: project all window map points through the
+        PnP pose, re-associate them by spatially-gated descriptor matching
+        (features/matching.py::match_descriptors_guided), and re-solve PnP
+        on the denser set.  An accuracy upgrade over the reference's
+        global-matching-only localization — returns (pose, {kp1: pid}).
+        """
+        from tadataka_tpu.features.matching import match_descriptors_guided
+        from tadataka_tpu.core.projection import pi as project
+
+        # each map point's descriptor from its most recent observation
+        pids, pts, descs = [], [], []
+        seen = set()
+        for v in reversed(self.active_viewpoints):
+            if v not in self.features:
+                continue
+            descs_v = np.asarray(self.features[v].descriptors)
+            for kp_idx, pid in self.correspondences[v].items():
+                if pid in seen or pid not in self.point_dict:
+                    continue
+                seen.add(pid)
+                pids.append(pid)
+                pts.append(self.point_dict[pid])
+                descs.append(descs_v[kp_idx])
+        if len(pids) < 6:
+            return pose1, {}
+
+        pts = np.asarray(pts, np.float32)
+        descs = np.asarray(descs, np.float32)
+        # pad to power-of-two capacity so jit shapes stay stable
+        cap = 1 << int(np.ceil(np.log2(max(len(pids), 16))))
+        pad = cap - len(pids)
+        mask = np.concatenate([np.ones(len(pids), bool), np.zeros(pad, bool)])
+        pts_p = np.concatenate([pts, np.ones((pad, 3), np.float32)])
+        descs_p = np.concatenate(
+            [descs, np.ones((pad, descs.shape[1]), np.float32)])
+
+        P = pts_p @ np.asarray(pose1.R).T + np.asarray(pose1.t)
+        in_front = P[:, 2] > 1e-6
+        pred = np.asarray(project(jnp.asarray(P)))
+
+        matches = match_descriptors_guided(
+            jnp.asarray(descs_p), features1.descriptors,
+            jnp.asarray(mask & in_front), features1.mask,
+            jnp.asarray(pred), features1.keypoints,
+            jnp.float32(self.guided_radius))
+        m = np.asarray(matches.mask)
+        idx = np.asarray(matches.indices)[m]
+        if len(idx) < 6:
+            return pose1, {}
+
+        obj = pts_p[idx[:, 0]]
+        img = np.asarray(features1.keypoints)[idx[:, 1]]
+        try:
+            refined = solve_pnp(obj.astype(np.float32),
+                                img.astype(np.float32),
+                                reprojection_threshold=self.pnp_threshold)
+        except NotEnoughInliersException:
+            return pose1, {}
+        assoc = {int(i1): pids[int(i0)] for i0, i1 in idx}
+        return Pose(np.asarray(refined.R), np.asarray(refined.t)), assoc
 
     def _solve_pnp(self, features1, viewpoints, pairs):
         """Localize against already-triangulated points (estime_pose
