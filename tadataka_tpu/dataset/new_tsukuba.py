@@ -77,8 +77,13 @@ class NewTsukubaDataset(BaseDataset):
             Path(groundtruth_dir, "camera_track.txt"))
 
         depth_dir = Path(groundtruth_dir, "depth_maps")
+        # depth ground truth is optional: public mirrors of the dataset strip
+        # the large depth XMLs (the reference fixture ships without them) —
+        # frames then carry depth_map=None
+        self.has_depth = any(Path(depth_dir, "left").glob("*.xml")) \
+            if Path(depth_dir, "left").exists() else False
         depth_cache_dir = Path(groundtruth_dir, "depth_cache")
-        if not depth_cache_dir.exists():
+        if self.has_depth and not depth_cache_dir.exists():
             _generate_cache(depth_dir, depth_cache_dir, ".xml", load_depth_xml)
         self.depth_L_paths = sorted(Path(depth_cache_dir, "left").glob("*.npy"))
         self.depth_R_paths = sorted(Path(depth_cache_dir, "right").glob("*.npy"))
@@ -91,8 +96,9 @@ class NewTsukubaDataset(BaseDataset):
         self.image_R_paths = sorted(Path(image_cache_dir, "right").glob("*.npy"))
 
         n = len(self.positions)
-        assert (len(self.depth_L_paths) == len(self.depth_R_paths)
-                == len(self.image_L_paths) == len(self.image_R_paths) == n)
+        assert len(self.image_L_paths) == len(self.image_R_paths) == n
+        if self.has_depth:
+            assert len(self.depth_L_paths) == len(self.depth_R_paths) == n
 
     def __len__(self):
         return len(self.positions)
@@ -100,8 +106,11 @@ class NewTsukubaDataset(BaseDataset):
     def load(self, index):
         image_l = np.load(self.image_L_paths[index])[..., :3]
         image_r = np.load(self.image_R_paths[index])[..., :3]
-        depth_l = np.load(self.depth_L_paths[index])
-        depth_r = np.load(self.depth_R_paths[index])
+        if self.has_depth:
+            depth_l = np.load(self.depth_L_paths[index])
+            depth_r = np.load(self.depth_R_paths[index])
+        else:
+            depth_l = depth_r = None
 
         rotation = self.rotations[index]
         offset = calc_baseline_offset(rotation, self.BASELINE)

@@ -103,6 +103,10 @@ class FeatureBasedVO:
         return ids
 
     def _extract(self, camera_model, image):
+        # the reference detects on grayscale (feature/feature.py:68)
+        if np.asarray(image).ndim == 3:
+            from tadataka_tpu.dataset.image_io import rgb2gray
+            image = rgb2gray(np.asarray(image))
         feats = extract_features(jnp.asarray(image),
                                  max_keypoints=self.max_keypoints,
                                  threshold=self.fast_threshold,

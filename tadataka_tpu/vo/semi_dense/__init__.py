@@ -14,7 +14,8 @@ one ``update_depth`` call is a single fused XLA program over the whole map.
 
 from tadataka_tpu.vo.semi_dense.params import SemiDenseParams
 from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame, make_frame
-from tadataka_tpu.vo.semi_dense.estimator import update_depth, estimate_pixel
+from tadataka_tpu.vo.semi_dense.estimator import (
+    update_depth, estimate_pixel, estimate_debug)
 from tadataka_tpu.vo.semi_dense.propagation import propagate
 from tadataka_tpu.vo.semi_dense.age import increment_age
 from tadataka_tpu.vo.semi_dense.fusion import fusion, fusion_maps

@@ -272,6 +272,46 @@ def estimate_pixel(u_key, prior_inv_depth, prior_variance,
     return out_inv_depth, out_variance, flag
 
 
+@partial(jax.jit, static_argnames=("n_ref_samples",))
+def estimate_debug(u_key, prior_depth, prior_variance,
+                   keyframe: SemiDenseFrame, refframe: SemiDenseFrame,
+                   params: SemiDenseParams,
+                   n_ref_samples: int = DEFAULT_N_REF_SAMPLES):
+    """Single-pixel debug entry: (depth, variance, flag) for one pixel.
+
+    Mirrors ``estimate_debug_`` (/root/reference/src/py/semi_dense.rs:235-246)
+    which the reference's tests use to drive every per-pixel failure flag
+    (/root/reference/tests/vo/semi_dense/test_semi_dense.py:76-149).
+    ``u_key`` is an (x, y) pixel coordinate; priors are plain depth/variance.
+    """
+    f32 = keyframe.image.dtype
+    T_wk = keyframe.transform_wf
+    T_wr = refframe.transform_wf
+    T_rk = inv_motion_matrix(T_wr) @ T_wk
+    e_key = calc_key_epipole(T_wk, T_wr)
+    gx = sobel_x(keyframe.image, mode="zero")
+    gy = sobel_y(keyframe.image, mode="zero")
+
+    u = jnp.asarray(u_key, dtype=f32)
+    prior_inv = safe_invert(jnp.asarray(prior_depth, dtype=f32))
+    prior_var = jnp.asarray(prior_variance, dtype=f32)
+
+    inv_d, var, flag = estimate_pixel(
+        u, prior_inv, prior_var, T_rk, e_key,
+        keyframe.focal_length, keyframe.offset, keyframe.image,
+        refframe.focal_length, refframe.offset, refframe.image[None],
+        jnp.int32(0), gx, gy, params, n_ref_samples)
+
+    # prior validity takes precedence, as in estimate() (semi_dense.rs:91-103)
+    prior_flag = check_args_flag(prior_inv, prior_var,
+                                 params.min_inv_depth, params.max_inv_depth)
+    prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
+    flag = jnp.where(prior_bad, prior_flag, flag)
+    inv_d = jnp.where(prior_bad, prior_inv, inv_d)
+    var = jnp.where(prior_bad, prior_var, var)
+    return safe_invert(inv_d), var, flag
+
+
 def calc_key_epipole(T_wk, T_wr):
     """Projection of the ref camera center into the keyframe (epipolar.rs:9)."""
     t_wk = get_translation(T_wk)
