@@ -34,7 +34,7 @@ class ExtremaTracker:
     """Correct keypoints to nearby curvature maxima."""
 
     def __init__(self, image_curvature, lambda_, regularizer=None,
-                 max_iter=20):
+                 max_iter=20, subpixel=True):
         if regularizer is None:
             regularizer = GemanMcClure(3.0 ** 2)
         self.image_shape = image_curvature.shape
@@ -44,6 +44,11 @@ class ExtremaTracker:
         self.regularizer = regularizer
         self.lambda_ = lambda_
         self.max_iter = max_iter
+        # subpixel: replace the carried-over fractional part (the reference
+        # keeps the affine-flow prediction's fraction, which encodes no
+        # measurement) with a parabolic fit on the curvature around the
+        # landed extremum — upgrade, matters for small-baseline triangulation
+        self.subpixel = subpixel
 
     def optimize(self, initial_coordinates):
         """(K, 2) float coords in [x, y] -> corrected coords (same shape).
@@ -84,7 +89,27 @@ class ExtremaTracker:
                 0, max_iter, body, (p_init, jnp.asarray(False)))
             return p_final
 
-        corrected = jax.vmap(climb_one)(p0) - 1
-        corrected = jnp.where(valid[:, None], corrected.astype(coords.dtype),
-                              rounded)
-        return corrected + frac
+        landed = jax.vmap(climb_one)(p0)
+        corrected = jnp.where(valid[:, None],
+                              (landed - 1).astype(coords.dtype), rounded)
+        if not self.subpixel:
+            return corrected + frac
+
+        def subpixel_one(p):
+            px, py = p[0], p[1]
+            patch = jax.lax.dynamic_slice(curvature, (py - 1, px - 1), (3, 3))
+
+            def parabola(cm, c0, cp):
+                denom = cm - 2.0 * c0 + cp
+                off = 0.5 * (cm - cp) / jnp.where(
+                    jnp.abs(denom) < 1e-12, 1e-12, denom)
+                off = jnp.where(jnp.isfinite(off), off, 0.0)
+                return jnp.clip(off, -0.5, 0.5)
+
+            dx = parabola(patch[1, 0], patch[1, 1], patch[1, 2])
+            dy = parabola(patch[0, 1], patch[1, 1], patch[2, 1])
+            return jnp.stack([dx, dy])
+
+        offsets = jax.vmap(subpixel_one)(landed).astype(coords.dtype)
+        offsets = jnp.where(valid[:, None], offsets, frac)
+        return corrected + offsets

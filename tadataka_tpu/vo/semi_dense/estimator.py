@@ -325,14 +325,20 @@ def calc_key_epipole(T_wk, T_wr):
 def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
                  age_map, prior_depth, prior_variance,
                  params: SemiDenseParams,
-                 n_ref_samples: int = DEFAULT_N_REF_SAMPLES):
+                 n_ref_samples: int = DEFAULT_N_REF_SAMPLES,
+                 row_offset=0):
     """Full-map inverse-depth update.
 
     keyframe: single frame; refframes: stacked history (leading axis R,
     oldest first).  age selects ``refframes[R - age]`` per pixel
     (semi_dense.rs:207).  Returns (depth_map, variance_map, flag_map).
+
+    The prior/age maps may be a row-block of the full image (multi-chip
+    sharding: each device owns H/n rows); ``row_offset`` is the block's
+    first global row so pixel coordinates stay global.  The key/ref images
+    are always the full frames.
     """
-    H, W = keyframe.image.shape
+    H, W = prior_depth.shape
     R_frames = refframes.image.shape[0]
     f32 = keyframe.image.dtype
 
@@ -347,7 +353,7 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
     gy = sobel_y(keyframe.image, mode="zero")
 
     xs = jnp.arange(W, dtype=f32)
-    ys = jnp.arange(H, dtype=f32)
+    ys = jnp.arange(H, dtype=f32) + jnp.asarray(row_offset, f32)
     X, Y = jnp.meshgrid(xs, ys)
     us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)     # (H*W, 2)
 

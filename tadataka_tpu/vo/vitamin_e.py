@@ -145,6 +145,160 @@ def track_sequence(images, lambda_=0.5, matcher=None, patch_size=64,
     return keypoints
 
 
+class VitaminEVO:
+    """Full VITAMIN-E visual odometry: dense extrema tracking with pose
+    estimation from the tracks.
+
+    Parity surface: /root/reference/examples/vitamin_e_vo.py (run_vo:
+    essential-matrix pose from tracked keypoints + triangulation), extended
+    from the reference's two-frame sketch into a sequence VO:
+    - frame 1: essential-matrix bootstrap (scale-free) over the tracks
+    - frame k: PnP against the triangulated track map, then triangulation
+      of tracks not yet in the map — each against its FIRST observation,
+      maximizing parallax (tracks persist by integer id, so the first
+      observation is free bookkeeping)
+    """
+
+    def __init__(self, camera_model, lambda_=0.5, matcher=None,
+                 fast_threshold=50.0 / 255.0, max_keypoints=512,
+                 patch_size=64, percentile=98.0, max_track_keypoints=2048,
+                 pnp_threshold=0.005, min_track_gap=1):
+        self.camera_model = camera_model
+        self.lambda_ = lambda_
+        self.matcher = matcher or Matcher()
+        self.fast_threshold = fast_threshold
+        self.max_keypoints = max_keypoints
+        self.patch_size = patch_size
+        self.percentile = percentile
+        self.max_track_keypoints = max_track_keypoints
+        self.pnp_threshold = pnp_threshold
+        self.min_track_gap = min_track_gap
+
+        self.poses_cw = []        # world->camera per frame
+        self.keypoints = []       # KeypointFrame per frame
+        self._features = None     # detector features of the latest frame
+        self.points = {}          # track id -> (3,) world point
+        self._first_obs = {}      # track id -> (frame_idx, (2,) pixel xy)
+        self._tri_gap = {}        # track id -> frame gap used to triangulate
+
+    def _normalize(self, coords):
+        return np.asarray(self.camera_model.normalize(
+            jnp.asarray(coords, jnp.float32)))
+
+    def _record_first_obs(self, frame_idx, kp: KeypointFrame):
+        for i, tid in enumerate(kp.ids):
+            if tid not in self._first_obs:
+                self._first_obs[tid] = (frame_idx, kp.coords[i])
+
+    def _triangulate_new(self, frame_idx, kp: KeypointFrame):
+        """(Re-)triangulate tracks against their first observation: new
+        tracks once they reach ``min_track_gap`` frames of parallax, and
+        existing map points whenever the track has aged (longer baseline =
+        better-conditioned depth, so the map sharpens as the camera moves)."""
+        from tadataka_tpu.core.triangulation import (
+            two_view_triangulation, compute_depth_mask)
+
+        def wants(tid):
+            if tid not in self._first_obs:
+                return False
+            gap = frame_idx - self._first_obs[tid][0]
+            if gap < self.min_track_gap:
+                return False
+            return tid not in self.points or gap > self._tri_gap.get(tid, 0)
+
+        sel = [i for i, tid in enumerate(kp.ids) if wants(tid)]
+        if not sel:
+            return
+        first = [self._first_obs[kp.ids[i]] for i in sel]
+        by_frame = {}
+        for slot, (j, xy0) in enumerate(first):
+            by_frame.setdefault(j, []).append((slot, xy0))
+        for j, entries in by_frame.items():
+            slots = [s for s, _ in entries]
+            xy0 = np.stack([xy for _, xy in entries])
+            xy1 = kp.coords[[sel[s] for s in slots]]
+            pts, depths = two_view_triangulation(
+                self.poses_cw[j], self.poses_cw[frame_idx],
+                jnp.asarray(self._normalize(xy0)),
+                jnp.asarray(self._normalize(xy1)))
+            ok = (np.asarray(compute_depth_mask(depths))
+                  & np.isfinite(np.asarray(pts)).all(axis=1))
+            pts = np.asarray(pts)
+            for s, good, p in zip(slots, ok, pts):
+                if good:
+                    tid = kp.ids[sel[s]]
+                    self.points[tid] = p
+                    self._tri_gap[tid] = frame_idx - j
+
+    def estimate(self, image):
+        """Process a frame (grayscale or RGB); returns the camera->world
+        Pose, or None if tracking failed for this frame."""
+        from tadataka_tpu.core.pose import Pose
+        image = np.asarray(image)
+        if image.ndim == 3:
+            from tadataka_tpu.dataset.image_io import rgb2gray
+            image = rgb2gray(image)
+
+        feats = extract_features(jnp.asarray(image, jnp.float32),
+                                 max_keypoints=self.max_keypoints,
+                                 threshold=self.fast_threshold,
+                                 patch_size=self.patch_size)
+
+        if not self.poses_cw:
+            kp = init_keypoint_frame(image, self.percentile,
+                                     self.max_track_keypoints)
+            self.keypoints.append(kp)
+            self._features = feats
+            self.poses_cw.append(Pose.identity())
+            self._record_first_obs(0, kp)
+            return Pose.identity()
+
+        k = len(self.poses_cw)
+        flow01 = estimate_flow(self._features, feats, self.matcher)
+        kp1 = Tracker(flow01, image, self.lambda_)(self.keypoints[-1])
+
+        if k == 1:
+            pose_cw = self._bootstrap(kp1)
+        else:
+            pose_cw = self._localize(kp1)
+        if pose_cw is None:
+            return None
+
+        self.poses_cw.append(pose_cw)
+        self.keypoints.append(kp1)
+        self._features = feats
+        self._record_first_obs(k, kp1)
+        self._triangulate_new(k, kp1)
+        return pose_cw.inv()
+
+    def _bootstrap(self, kp1):
+        from tadataka_tpu.pose_estimation import estimate_pose_change
+        matches = match_keypoints(self.keypoints[0], kp1)
+        if matches.shape[0] < 8:
+            return None
+        xy0 = self.keypoints[0].coords[matches[:, 0]]
+        xy1 = kp1.coords[matches[:, 1]]
+        # world->cam1 directly: frame 0 is the world origin
+        return estimate_pose_change(jnp.asarray(self._normalize(xy0)),
+                                    jnp.asarray(self._normalize(xy1)))
+
+    def _localize(self, kp1):
+        from tadataka_tpu.pose_estimation.pnp import solve_pnp
+        from tadataka_tpu.utils.exceptions import (
+            NotEnoughInliersException, print_error)
+        sel = [i for i, tid in enumerate(kp1.ids) if tid in self.points]
+        if len(sel) < 6:
+            return None
+        pts = np.stack([self.points[kp1.ids[i]] for i in sel])
+        norm = self._normalize(kp1.coords[sel])
+        try:
+            return solve_pnp(jnp.asarray(pts), jnp.asarray(norm),
+                             reprojection_threshold=self.pnp_threshold)
+        except NotEnoughInliersException as e:
+            print_error(str(e))
+            return None
+
+
 def triangulate_tracks(camera_models, poses, keypoint_frames):
     """Multi-view triangulation of tracks shared across every given frame.
 

@@ -237,3 +237,29 @@ def test_feature_based_vo_trajectory(tsukuba_dataset):
     span = np.linalg.norm(gt[-1] - gt[0])
     assert span > 3.0
     assert ate < 0.05 * span                  # measured 0.053cm on 4.8cm
+
+
+def test_vitamin_e_vo_trajectory(tsukuba_dataset):
+    """VITAMIN-E VO (dense extrema tracks -> essential bootstrap -> PnP +
+    growing-baseline re-triangulation) on the 5 real frames.  Dense
+    curvature tracks are coarser geometry than corner features, so the
+    bound is looser than feature VO's (measured 0.28cm on a 4.8cm span)."""
+    from tadataka_tpu.vo.vitamin_e import VitaminEVO
+    from tadataka_tpu.metrics import absolute_trajectory_error
+
+    vo = VitaminEVO(tsukuba_dataset.camera_model,
+                    fast_threshold=20.0 / 255.0, lambda_=0.5)
+    est, gt = [], []
+    for i in range(len(tsukuba_dataset)):
+        L, _ = tsukuba_dataset[i]
+        pose = vo.estimate(L.image)
+        if pose is not None:
+            est.append(np.asarray(pose.t))
+            gt.append(np.asarray(L.pose.t))
+    assert len(est) == 5
+    est, gt = np.stack(est), np.stack(gt)
+    ate = float(absolute_trajectory_error(jnp.asarray(est), jnp.asarray(gt)))
+    span = np.linalg.norm(gt[-1] - gt[0])
+    assert ate < 0.12 * span
+    # the triangulated track map is dense (thousands of points)
+    assert len(vo.points) > 1000

@@ -198,3 +198,39 @@ def test_regularize_smooths():
     sm2 = np.asarray(regularize(jnp.asarray(depth), jnp.asarray(variance),
                                 jnp.asarray(flags2)))
     np.testing.assert_allclose(sm2, depth, rtol=1e-5)
+
+
+def test_propagate_collisions_fuse_or_keep_nearer():
+    """Two hypotheses landing in one cell: statistically-compatible ones
+    fuse as a precision-weighted Gaussian product; an incompatible farther
+    surface loses to the nearer one (propagation.rs:21-81 semantics,
+    order-independent two-pass scatter here).
+
+    Geometry: identity motion with cam1 focal = cam0 focal / 3 maps source
+    pixels x=0..3 to cells [0, 0, 1, 1] deterministically.
+    """
+    cam0 = CameraParameters.create((3.0, 3.0), (0.0, 0.0))
+    cam1 = CameraParameters.create((1.0, 1.0), (0.0, 0.0))
+    depth0 = jnp.asarray([[10.0, 10.5, 5.0, 50.0]], dtype=jnp.float32)
+    var0 = jnp.full((1, 4), 1e-4, dtype=jnp.float32)
+
+    depth1, var1 = propagate(jnp.eye(4), cam0, cam1, depth0, var0,
+                             default_depth=7.0, default_variance=0.5,
+                             uncertainty_bias=0.0)
+    depth1 = np.asarray(depth1)
+    var1 = np.asarray(var1)
+
+    # cell 0: 10 and 10.5 are 2-sigma compatible in inverse depth
+    # ((1/10 - 1/10.5)^2 = 2.3e-5 <= 4 * 1e-4) -> equal-precision fusion
+    fused_inv = 0.5 * (1.0 / 10.0 + 1.0 / 10.5)
+    np.testing.assert_allclose(depth1[0, 0], 1.0 / fused_inv, rtol=1e-5)
+    np.testing.assert_allclose(var1[0, 0], 5e-5, rtol=1e-5)
+
+    # cell 1: 5 vs 50 are incompatible -> the nearer surface (5) wins and
+    # the far hypothesis is discarded entirely
+    np.testing.assert_allclose(depth1[0, 1], 5.0, rtol=1e-5)
+    np.testing.assert_allclose(var1[0, 1], 1e-4, rtol=1e-5)
+
+    # untouched cells fall back to the defaults
+    np.testing.assert_allclose(depth1[0, 2:], 7.0)
+    np.testing.assert_allclose(var1[0, 2:], 0.5)
