@@ -102,16 +102,21 @@ def solve_pnp_ransac(points, keypoints, mask, key,
     """RANSAC + GN refinement.  Returns (Pose, inlier_mask).
 
     method: "epnp" (5-point minimal samples, the reference's cv2 EPnP
-    flag, pose.py:85) or "dlt" (6-point DLT camera-matrix fit).
+    flag, pose.py:85), "p3p" (3-point Grunert minimal solver + 4th-point
+    disambiguation — the smallest sample, most outlier-robust trials), or
+    "dlt" (6-point DLT camera-matrix fit).
     """
     from tadataka_tpu.features.ransac import _sample_valid_indices
     from tadataka_tpu.pose_estimation.epnp import epnp_pose
+    from tadataka_tpu.pose_estimation.p3p import p3p_best_pose
 
     if reprojection_threshold is None:
         reprojection_threshold = calc_reprojection_threshold(keypoints)
 
     if method == "epnp":
         fit, n_samples = epnp_pose, EPNP_SAMPLES
+    elif method == "p3p":
+        fit, n_samples = p3p_best_pose, 4
     elif method == "dlt":
         fit, n_samples = _dlt_pose, MIN_CORRESPONDENCES
     else:
