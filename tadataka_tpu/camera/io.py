@@ -4,29 +4,26 @@ Parity surface: /root/reference/tadataka/camera/io.py — one line per camera:
 ``<camera_id> <DistortionType> <fx> <fy> <cx> <cy> [dist params...]``.
 """
 
-import re
-
 from tadataka_tpu.camera.model import CameraModel
 
 
 def _parse_line(line):
-    camera_id, model_params = re.split(r"\s+", line, maxsplit=1)
-    try:
-        camera_id = int(camera_id)
-    except ValueError:
-        raise ValueError("Camera ID must be integer")
-    return camera_id, CameraModel.fromstring(model_params)
+    """Split one ``<id> <model spec>`` record into (int id, CameraModel)."""
+    fields = line.split(None, 1)
+    if len(fields) != 2 or not fields[0].lstrip("+-").isdigit():
+        raise ValueError(f"invalid camera record {line!r}: expected "
+                         "'<integer id> <model spec>'")
+    return int(fields[0]), CameraModel.fromstring(fields[1])
 
 
 def load(filename):
     camera_models = {}
-    with open(filename, 'r') as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            camera_id, camera_model = _parse_line(line)
-            camera_models[camera_id] = camera_model
+    with open(filename) as f:
+        records = (line.strip() for line in f)
+        for record in records:
+            if record:
+                camera_id, model = _parse_line(record)
+                camera_models[camera_id] = model
     return camera_models
 
 

@@ -202,3 +202,19 @@ def test_animation_viewers_headless():
     assert fanim.trajectory.shape == (3, 3)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_checkpoint_restores_without_template(tmp_path):
+    """save_pytree stores leaf key paths, so load_pytree(path) with no
+    template rebuilds a nested dict/list skeleton from the file alone."""
+    from tadataka_tpu.checkpoint import save_pytree, load_pytree
+    tree = {"depth": np.arange(6.0).reshape(2, 3),
+            "meta": {"frames": [np.int32(3), np.int32(5)]},
+            "pose": np.eye(4, dtype=np.float32)}
+    p = str(tmp_path / "state.npz")
+    save_pytree(p, tree)
+
+    restored = load_pytree(p)          # no `like` template
+    np.testing.assert_array_equal(restored["depth"], tree["depth"])
+    np.testing.assert_array_equal(restored["pose"], tree["pose"])
+    assert [int(x) for x in restored["meta"]["frames"]] == [3, 5]
