@@ -35,6 +35,51 @@ def synthetic_frames(n, H=120, W=160, focal=120.0):
     return vo, [ds[i] for i in range(n)]
 
 
+def tsukuba_frames(n):
+    """Real NewTsukuba fixture frames (left camera).  The monocular scale
+    is fixed at bootstrap the way the reference does (essential matrix +
+    a known scale, examples/semi_dense_vo.py:124-127): here the essential-
+    matrix pose is rescaled to the ground-truth first-step length."""
+    from tadataka_tpu.dataset.image_io import rgb2gray
+    from tadataka_tpu.dataset.new_tsukuba import NewTsukubaDataset
+    from tadataka_tpu.features.brief import extract_features
+    from tadataka_tpu.features.matching import Matcher
+    from tadataka_tpu.pose_estimation import estimate_pose_change
+
+    ds = NewTsukubaDataset("/root/reference/tests/dataset/new_tsukuba")
+    frames = [ds[i][0] for i in range(min(n, len(ds)))]
+    p = frames[0].camera_model.camera_parameters
+    cam = CameraParameters.create(np.asarray(p.focal_length),
+                                  np.asarray(p.offset))
+    scale = float(np.linalg.norm(np.asarray(frames[1].pose.t)
+                                 - np.asarray(frames[0].pose.t)))
+    cm = frames[0].camera_model
+    matcher = Matcher()
+
+    def bootstrap(image0, image1):
+        f0 = extract_features(jnp.asarray(image0), threshold=20.0 / 255.0,
+                              max_keypoints=1024)
+        f1 = extract_features(jnp.asarray(image1), threshold=20.0 / 255.0,
+                              max_keypoints=1024)
+        m = matcher(f0, f1)
+        idx = np.asarray(m.indices)[np.asarray(m.mask)]
+        pose10 = estimate_pose_change(
+            cm.normalize(jnp.asarray(np.asarray(f0.keypoints)[idx[:, 0]])),
+            cm.normalize(jnp.asarray(np.asarray(f1.keypoints)[idx[:, 1]])))
+        return Pose(pose10.R, scale * pose10.t)
+
+    # frame-to-frame baseline is ~1.2cm -> epipolar segments span only a
+    # few pixels; sample at ~0.6px (step 0.001 normalized) and relax the
+    # gradient gate accordingly (gradient is measured across the patch)
+    params = SemiDenseParams.create(60.0, 1000.0, geo_coeff=0.01,
+                                    photo_coeff=0.01, ref_step_size=0.001,
+                                    min_gradient=0.05)
+    vo = SemiDenseVO(cam, params=params, depth_range=(60.0, 1000.0),
+                     default_depth=200.0, default_variance=0.01,
+                     uncertainty_bias=1e-4, initial_pose_fn=bootstrap)
+    return vo, frames
+
+
 def tum_frames(root, freiburg, n):
     from tadataka_tpu.dataset import TumRgbdDataset
     ds = TumRgbdDataset(root, which_freiburg=freiburg)
@@ -50,6 +95,8 @@ def tum_frames(root, freiburg, n):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tum", default=None)
+    parser.add_argument("--tsukuba", action="store_true",
+                        help="run on the real NewTsukuba fixture frames")
     parser.add_argument("--freiburg", type=int, default=1)
     parser.add_argument("--frames", type=int, default=6)
     parser.add_argument("--plot", action="store_true")
@@ -57,6 +104,8 @@ def main():
 
     if args.tum:
         vo, frames = tum_frames(args.tum, args.freiburg, args.frames)
+    elif args.tsukuba:
+        vo, frames = tsukuba_frames(args.frames)
     else:
         vo, frames = synthetic_frames(args.frames)
 
