@@ -18,6 +18,7 @@ TPU design decisions vs the reference:
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -161,21 +162,86 @@ def _ssd_search(ref_intensities, key_intensities, n_valid):
     return argmin + K // 2
 
 
-def estimate_pixel(u_key, prior_inv_depth, prior_variance,
-                   T_rk, e_key,
-                   key_focal, key_offset, key_image,
-                   ref_focal, ref_offset, ref_images, ref_index,
-                   grad_x_map, grad_y_map,
-                   params: SemiDenseParams, n_ref_samples: int):
-    """One pixel's inverse-depth update.  Returns (inv_depth, variance, flag).
+class PixelGeometry(NamedTuple):
+    """Per-pixel epipolar geometry — everything up to the image accesses.
 
-    ``ref_images`` is the full (R, H, W) stack; ``ref_index`` the scalar
-    frame choice for this pixel.  Mirrors estimate() (semi_dense.rs:91-158)
-    as straight-line masked code.
+    Pixel coordinates are carried as SEPARATE x / y component arrays, never
+    packed (..., 2) tensors: slicing a packed coordinate tensor's trailing
+    axis makes XLA:TPU materialize (N, S, 1) intermediates whose (8, 128)
+    tiling pads them 128x (9.4 GB for a 75 MB tensor at 480x640) — the
+    single biggest performance cliff found in this pipeline.
     """
-    f32 = key_image.dtype
-    key_shape = key_image.shape
-    ref_shape = ref_images.shape[1:]
+    us_key_x: jnp.ndarray     # (5,) key patch pixel xs
+    us_key_y: jnp.ndarray     # (5,)
+    us_ref_x: jnp.ndarray     # (S,) ref epipolar sample pixel xs
+    us_ref_y: jnp.ndarray     # (S,)
+    x_key: jnp.ndarray        # (2,) normalized key coord
+    x_min_ref: jnp.ndarray    # (2,) segment start (normalized)
+    ref_dir_unit: jnp.ndarray  # (2,)
+    step: jnp.ndarray
+    key_step_size: jnp.ndarray
+    n_samples: jnp.ndarray    # int32
+    min_depth: jnp.ndarray
+    max_depth: jnp.ndarray
+    flag_neg_ref: jnp.ndarray
+    flag_key_oob: jnp.ndarray
+    flag_too_short: jnp.ndarray
+    flag_close_oob: jnp.ndarray
+    flag_far_oob: jnp.ndarray
+
+
+def _in_image_xy(x, y, image_shape):
+    H, W = image_shape
+    return (0.0 <= x) & (x <= W - 1.0) & (0.0 <= y) & (y <= H - 1.0)
+
+
+def _interp_image_xy(image, x, y):
+    """Bilinear sample at separate x / y arrays (any matching shape)."""
+    H, W = image.shape
+    flat = image.ravel()
+    lx, ly = jnp.floor(x), jnp.floor(y)
+    ax, ay = x - lx, y - ly
+    x0 = jnp.clip(lx.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(ly.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    b0 = y0 * W
+    b1 = y1 * W
+    v00 = jnp.take(flat, b0 + x0, mode="clip")
+    v01 = jnp.take(flat, b0 + x1, mode="clip")
+    v10 = jnp.take(flat, b1 + x0, mode="clip")
+    v11 = jnp.take(flat, b1 + x1, mode="clip")
+    return ((1 - ax) * (1 - ay) * v00 + ax * (1 - ay) * v01
+            + (1 - ax) * ay * v10 + ax * ay * v11)
+
+
+def _interp_stack_xy(images, r, x, y):
+    """Bilinear sample of a (R, H, W) stack; ``r`` broadcasts against x/y."""
+    R, H, W = images.shape
+    flat = images.ravel()
+    lx, ly = jnp.floor(x), jnp.floor(y)
+    ax, ay = x - lx, y - ly
+    x0 = jnp.clip(lx.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(ly.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    base = jnp.broadcast_to(r * (H * W), x0.shape)
+    b0 = base + y0 * W
+    b1 = base + y1 * W
+    v00 = jnp.take(flat, b0 + x0, mode="clip")
+    v01 = jnp.take(flat, b0 + x1, mode="clip")
+    v10 = jnp.take(flat, b1 + x0, mode="clip")
+    v11 = jnp.take(flat, b1 + x1, mode="clip")
+    return ((1 - ax) * (1 - ay) * v00 + ax * (1 - ay) * v01
+            + (1 - ax) * ay * v10 + ax * ay * v11)
+
+
+def _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk, e_key,
+                    key_focal, key_offset, key_shape,
+                    ref_focal, ref_offset, ref_shape,
+                    params: SemiDenseParams, n_ref_samples: int):
+    """Pure per-pixel geometry (vmappable; no image gathers)."""
+    f32 = u_key.dtype
 
     # prior search range (+-2 sigma clamped)
     lo, hi = clamped_range(prior_inv_depth, prior_variance,
@@ -204,51 +270,66 @@ def estimate_pixel(u_key, prior_inv_depth, prior_variance,
                        norm / (n_ref_samples - 1))
     n_samples = jnp.floor(norm / step).astype(jnp.int32)
 
-    # key-side 5-sample patch along the epipolar direction
+    # key-side 5-sample patch along the epipolar direction (x / y kept as
+    # separate component arrays — see PixelGeometry)
     key_step_size = ratio * step
     d_key = x_key - e_key
     aligned = jnp.dot(ref_direction, d_key) > 0.0
     key_dir = jnp.where(aligned, 1.0, -1.0) * _normalize_vec(d_key)
     steps = jnp.arange(-(N_KEY_SAMPLES // 2), N_KEY_SAMPLES // 2 + 1,
                        dtype=f32)
-    xs_key = x_key + steps[:, None] * key_step_size * key_dir
-    us_key = xs_key * key_focal + key_offset
-    flag_key_oob = jnp.logical_not(jnp.all(_in_image(us_key, key_shape)))
-
-    key_intensities = _interp_image(key_image, us_key)
-    key_gradient = jnp.linalg.norm(gradient1d(key_intensities))
-    flag_insufficient = key_gradient < params.min_gradient
+    us_key_x = ((x_key[0] + steps * (key_step_size * key_dir[0]))
+                * key_focal[0] + key_offset[0])
+    us_key_y = ((x_key[1] + steps * (key_step_size * key_dir[1]))
+                * key_focal[1] + key_offset[1])
+    flag_key_oob = jnp.logical_not(
+        jnp.all(_in_image_xy(us_key_x, us_key_y, key_shape)))
 
     # ref-side epipolar samples
     idx = jnp.arange(n_ref_samples, dtype=f32)
-    xs_ref = x_min_ref + idx[:, None] * step * ref_dir_unit
-    us_ref = xs_ref * ref_focal + ref_offset
+    us_ref_x = ((x_min_ref[0] + idx * (step * ref_dir_unit[0]))
+                * ref_focal[0] + ref_offset[0])
+    us_ref_y = ((x_min_ref[1] + idx * (step * ref_dir_unit[1]))
+                * ref_focal[1] + ref_offset[1])
 
     flag_too_short = n_samples < N_KEY_SAMPLES
-    u_close = us_ref[0]
     x_far = x_min_ref + (n_samples.astype(f32) - 1.0) * step * ref_dir_unit
     u_far = x_far * ref_focal + ref_offset
-    flag_close_oob = jnp.logical_not(_in_image(u_close, ref_shape))
+    flag_close_oob = jnp.logical_not(
+        _in_image_xy(us_ref_x[0], us_ref_y[0], ref_shape))
     flag_far_oob = jnp.logical_not(_in_image(u_far, ref_shape))
 
-    ref_intensities = _interp_stack(ref_images, ref_index, us_ref)
-    match_idx = _ssd_search(ref_intensities, key_intensities, n_samples)
-    x_ref_match = (x_min_ref
-                   + match_idx.astype(f32) * step * ref_dir_unit)
+    return PixelGeometry(us_key_x, us_key_y, us_ref_x, us_ref_y,
+                         x_key, x_min_ref, ref_dir_unit,
+                         step, key_step_size, n_samples, min_depth,
+                         max_depth, flag_neg_ref, flag_key_oob,
+                         flag_too_short, flag_close_oob, flag_far_oob)
 
-    key_depth = calc_depth0(T_rk, x_key, x_ref_match)
+
+def _pixel_estimate(geo: PixelGeometry, key_intensities, ref_intensities,
+                    grad, prior_inv_depth, prior_variance, T_rk,
+                    params: SemiDenseParams):
+    """Per-pixel estimation from sampled intensities (vmappable)."""
+    f32 = key_intensities.dtype
+
+    key_gradient = jnp.linalg.norm(gradient1d(key_intensities))
+    flag_insufficient = key_gradient < params.min_gradient
+
+    match_idx = _ssd_search(ref_intensities, key_intensities, geo.n_samples)
+    x_ref_match = (geo.x_min_ref
+                   + match_idx.astype(f32) * geo.step * geo.ref_dir_unit)
+
+    key_depth = calc_depth0(T_rk, geo.x_key, x_ref_match)
     new_inv_depth = safe_invert(key_depth)
 
     # variance model
-    alpha = _calc_alpha(T_rk, x_key, (min_depth, max_depth), key_depth)
+    alpha = _calc_alpha(T_rk, geo.x_key, (geo.min_depth, geo.max_depth),
+                        key_depth)
     t_rk = get_translation(T_rk)
-    ux = jnp.clip(u_key[0].astype(jnp.int32), 0, key_shape[1] - 1)
-    uy = jnp.clip(u_key[1].astype(jnp.int32), 0, key_shape[0] - 1)
-    grad = jnp.stack([grad_x_map[uy, ux], grad_y_map[uy, ux]])
-    geo = _geo_var(x_key, t_rk, grad)
-    photo = _photo_var(key_gradient / (key_step_size + EPSILON))
+    geo_v = _geo_var(geo.x_key, t_rk, grad)
+    photo = _photo_var(key_gradient / (geo.key_step_size + EPSILON))
     a2 = alpha * alpha
-    variance = a2 * (params.geo_coeff ** 2 * geo
+    variance = a2 * (params.geo_coeff ** 2 * geo_v
                      + params.photo_coeff ** 2 * photo)
 
     result_flag = check_args_flag(new_inv_depth, variance,
@@ -256,20 +337,57 @@ def estimate_pixel(u_key, prior_inv_depth, prior_variance,
 
     # priority chain, earliest failure wins (matches reference exit order)
     flag = result_flag
-    flag = jnp.where(flag_far_oob, jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
-    flag = jnp.where(flag_close_oob,
+    flag = jnp.where(geo.flag_far_oob,
+                     jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
+    flag = jnp.where(geo.flag_close_oob,
                      jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
-    flag = jnp.where(flag_too_short,
+    flag = jnp.where(geo.flag_too_short,
                      jnp.int32(Flag.REF_EPIPOLAR_TOO_SHORT), flag)
     flag = jnp.where(flag_insufficient,
                      jnp.int32(Flag.INSUFFICIENT_GRADIENT), flag)
-    flag = jnp.where(flag_key_oob, jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
-    flag = jnp.where(flag_neg_ref, jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
+    flag = jnp.where(geo.flag_key_oob,
+                     jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
+    flag = jnp.where(geo.flag_neg_ref,
+                     jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
 
     success = flag == jnp.int32(Flag.SUCCESS)
     out_inv_depth = jnp.where(success, new_inv_depth, prior_inv_depth)
     out_variance = jnp.where(success, variance, prior_variance)
     return out_inv_depth, out_variance, flag
+
+
+def estimate_pixel(u_key, prior_inv_depth, prior_variance,
+                   T_rk, e_key,
+                   key_focal, key_offset, key_image,
+                   ref_focal, ref_offset, ref_images, ref_index,
+                   grad_x_map, grad_y_map,
+                   params: SemiDenseParams, n_ref_samples: int):
+    """One pixel's inverse-depth update.  Returns (inv_depth, variance, flag).
+
+    ``ref_images`` is the full (R, H, W) stack; ``ref_index`` the scalar
+    frame choice for this pixel.  Mirrors estimate() (semi_dense.rs:91-158)
+    as straight-line masked code.
+
+    NOTE: image sampling here runs per pixel — fine for single-pixel use
+    (estimate_debug); ``update_depth`` instead batches the gathers across
+    the whole map OUTSIDE the per-pixel vmap (XLA:TPU lowers vmap-batched
+    gathers ~10^4 x slower than the identical batched gather expression).
+    """
+    key_shape = key_image.shape
+    ref_shape = ref_images.shape[1:]
+
+    geo = _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk,
+                          e_key, key_focal, key_offset, key_shape,
+                          ref_focal, ref_offset, ref_shape,
+                          params, n_ref_samples)
+    key_intensities = _interp_image_xy(key_image, geo.us_key_x, geo.us_key_y)
+    ref_intensities = _interp_stack_xy(ref_images, ref_index,
+                                       geo.us_ref_x, geo.us_ref_y)
+    ux = jnp.clip(u_key[0].astype(jnp.int32), 0, key_shape[1] - 1)
+    uy = jnp.clip(u_key[1].astype(jnp.int32), 0, key_shape[0] - 1)
+    grad = jnp.stack([grad_x_map[uy, ux], grad_y_map[uy, ux]])
+    return _pixel_estimate(geo, key_intensities, ref_intensities, grad,
+                           prior_inv_depth, prior_variance, T_rk, params)
 
 
 @partial(jax.jit, static_argnames=("n_ref_samples",))
@@ -364,18 +482,52 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
 
     ridx = jnp.clip(R_frames - age, 0, R_frames - 1)
 
-    def per_pixel(u, p_inv, p_var, a, r):
-        T_rk = T_rk_all[r]
-        e_key = e_key_all[r]
-        ref_focal = refframes.focal_length[r]
-        ref_offset = refframes.offset[r]
+    # Layout discipline for every LARGE per-pixel tensor: the pixel axis N
+    # must be the MINOR (last) dimension.  XLA:TPU tiles the two minor dims
+    # to (8, 128); an (N, 5) or (N, 4, 4) tensor pads its tiny minor dim to
+    # 128 lanes (25-64x memory blowup — gigabytes of HBM at 480x640), which
+    # evicts live buffers to the host and collapses throughput ~1000x.
+    # Column-major (5, N) / (16, N) / (S, N) shapes pad (nearly) nothing.
+    T_cols = T_rk_all.reshape(R_frames, 16).T[:, ridx]       # (16, N)
+    e_cols = e_key_all.T[:, ridx]                            # (2, N)
+    rf_cols = refframes.focal_length.T[:, ridx]              # (2, N)
+    ro_cols = refframes.offset.T[:, ridx]                    # (2, N)
 
-        inv_d, var, flag = estimate_pixel(
-            u, p_inv, p_var, T_rk, e_key,
-            keyframe.focal_length, keyframe.offset, keyframe.image,
-            ref_focal, ref_offset, refframes.image, r,
-            gx, gy, params, n_ref_samples)
+    key_shape = keyframe.image.shape
+    ref_shape = refframes.image.shape[1:]
 
+    # stage 1 (vmapped over the minor axis): pure geometry, no image access
+    vec_axes = PixelGeometry(
+        us_key_x=1, us_key_y=1, us_ref_x=1, us_ref_y=1,
+        x_key=1, x_min_ref=1, ref_dir_unit=1,
+        step=0, key_step_size=0, n_samples=0, min_depth=0, max_depth=0,
+        flag_neg_ref=0, flag_key_oob=0, flag_too_short=0,
+        flag_close_oob=0, flag_far_oob=0)
+    geo = jax.vmap(
+        lambda u, pi, pv, T16, e, rf, ro: _pixel_geometry(
+            u, pi, pv, T16.reshape(4, 4), e, keyframe.focal_length,
+            keyframe.offset, key_shape, rf, ro, ref_shape, params,
+            n_ref_samples),
+        in_axes=(0, 0, 0, 1, 1, 1, 1), out_axes=vec_axes,
+    )(us, prior_inv, prior_v, T_cols, e_cols, rf_cols, ro_cols)
+
+    # stage 2 (batched, NOT vmapped): all image sampling at once, on
+    # separate (S, N) x / y component arrays
+    key_int = _interp_image_xy(keyframe.image,
+                               geo.us_key_x, geo.us_key_y)       # (5, N)
+    ref_int = _interp_stack_xy(refframes.image, ridx[None, :],
+                               geo.us_ref_x, geo.us_ref_y)       # (S, N)
+    ux = jnp.clip(us[:, 0].astype(jnp.int32), 0, key_shape[1] - 1)
+    uy = jnp.clip(us[:, 1].astype(jnp.int32), 0, key_shape[0] - 1)
+    flat_idx = uy * key_shape[1] + ux
+    grad = jnp.stack([jnp.take(gx.ravel(), flat_idx, mode="clip"),
+                      jnp.take(gy.ravel(), flat_idx, mode="clip")],
+                     axis=0)                                     # (2, N)
+
+    # stage 3 (vmapped over the minor axis): SSD, depth, variance, flags
+    def post(g, ki, ri, gr, p_inv, p_var, T16, a):
+        inv_d, var, flag = _pixel_estimate(g, ki, ri, gr, p_inv, p_var,
+                                           T16.reshape(4, 4), params)
         prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
                                      params.max_inv_depth)
         prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
@@ -388,7 +540,8 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
         var = jnp.where(keep_prior, p_var, var)
         return safe_invert(inv_d), var, flag
 
-    depth, variance, flags = jax.vmap(per_pixel)(
-        us, prior_inv, prior_v, age, ridx)
+    depth, variance, flags = jax.vmap(
+        post, in_axes=(vec_axes, 1, 1, 1, 0, 0, 1, 0), out_axes=0)(
+        geo, key_int, ref_int, grad, prior_inv, prior_v, T_cols, age)
     return (depth.reshape(H, W), variance.reshape(H, W),
             flags.reshape(H, W))
