@@ -162,23 +162,31 @@ def _ssd_search(ref_intensities, key_intensities, n_valid):
     return argmin + K // 2
 
 
-class PixelGeometry(NamedTuple):
-    """Per-pixel epipolar geometry — everything up to the image accesses.
+class PixelGeoScalars(NamedTuple):
+    """Per-pixel epipolar geometry — SCALAR fields only.
 
-    Pixel coordinates are carried as SEPARATE x / y component arrays, never
-    packed (..., 2) tensors: slicing a packed coordinate tensor's trailing
-    axis makes XLA:TPU materialize (N, S, 1) intermediates whose (8, 128)
-    tiling pads them 128x (9.4 GB for a 75 MB tensor at 480x640) — the
-    single biggest performance cliff found in this pipeline.
+    Two layout rules bought a combined ~10^4x on XLA:TPU:
+    - Components are SEPARATE x / y fields, never packed (..., 2) tensors:
+      slicing a packed tensor's trailing axis materializes (N, S, 1)
+      intermediates whose (8, 128) tiling pads them 128x.
+    - NO per-sample (5,) / (S,) arrays come out of the per-pixel vmap.
+      vmap emits its outputs with the pixel axis in a minor physical
+      layout; image gathers consuming indices in that layout fall off
+      XLA:TPU's fast gather path (measured 597 ms vs 0.07 ms for the
+      identical gather with row-major indices at 480x640, S=64).  Sample
+      coordinates are therefore built OUTSIDE the vmap by broadcasting
+      these scalars against the sample-index axis (row-major by
+      construction); see ``_key_coords`` / ``_ref_coords``.
     """
-    us_key_x: jnp.ndarray     # (5,) key patch pixel xs
-    us_key_y: jnp.ndarray     # (5,)
-    us_ref_x: jnp.ndarray     # (S,) ref epipolar sample pixel xs
-    us_ref_y: jnp.ndarray     # (S,)
-    x_key: jnp.ndarray        # (2,) normalized key coord
-    x_min_ref: jnp.ndarray    # (2,) segment start (normalized)
-    ref_dir_unit: jnp.ndarray  # (2,)
-    step: jnp.ndarray
+    x_key_x: jnp.ndarray      # normalized key coord
+    x_key_y: jnp.ndarray
+    x_min_ref_x: jnp.ndarray  # epipolar segment start (normalized, ref)
+    x_min_ref_y: jnp.ndarray
+    ref_dir_x: jnp.ndarray    # unit epipolar direction (ref)
+    ref_dir_y: jnp.ndarray
+    key_dir_x: jnp.ndarray    # unit epipolar direction (key)
+    key_dir_y: jnp.ndarray
+    step: jnp.ndarray         # ref sampling step (normalized units)
     key_step_size: jnp.ndarray
     n_samples: jnp.ndarray    # int32
     min_depth: jnp.ndarray
@@ -188,6 +196,29 @@ class PixelGeometry(NamedTuple):
     flag_too_short: jnp.ndarray
     flag_close_oob: jnp.ndarray
     flag_far_oob: jnp.ndarray
+
+
+def _key_coords(geo: PixelGeoScalars, steps, key_focal, key_offset):
+    """Key-patch sample pixel coords from scalar geometry.
+
+    ``steps`` carries the sample axis: (5,) per pixel, (5, 1) batched
+    against (N,) scalar fields -> (5, N) row-major arrays.
+    """
+    us_key_x = ((geo.x_key_x + steps * (geo.key_step_size * geo.key_dir_x))
+                * key_focal[0] + key_offset[0])
+    us_key_y = ((geo.x_key_y + steps * (geo.key_step_size * geo.key_dir_y))
+                * key_focal[1] + key_offset[1])
+    return us_key_x, us_key_y
+
+
+def _ref_coords(geo: PixelGeoScalars, idx, ref_focal_x, ref_focal_y,
+                ref_offset_x, ref_offset_y):
+    """Ref epipolar sample pixel coords; ``idx`` carries the sample axis."""
+    us_ref_x = ((geo.x_min_ref_x + idx * (geo.step * geo.ref_dir_x))
+                * ref_focal_x + ref_offset_x)
+    us_ref_y = ((geo.x_min_ref_y + idx * (geo.step * geo.ref_dir_y))
+                * ref_focal_y + ref_offset_y)
+    return us_ref_x, us_ref_y
 
 
 def _in_image_xy(x, y, image_shape):
@@ -240,7 +271,12 @@ def _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk, e_key,
                     key_focal, key_offset, key_shape,
                     ref_focal, ref_offset, ref_shape,
                     params: SemiDenseParams, n_ref_samples: int):
-    """Pure per-pixel geometry (vmappable; no image gathers)."""
+    """Pure per-pixel geometry (vmappable; no image gathers; scalars only).
+
+    All sample-axis arrays ((5,) key patch, (S,) ref line) are derived
+    later from these scalars via ``_key_coords`` / ``_ref_coords`` — see
+    the layout note on :class:`PixelGeoScalars`.
+    """
     f32 = u_key.dtype
 
     # prior search range (+-2 sigma clamped)
@@ -270,63 +306,70 @@ def _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk, e_key,
                        norm / (n_ref_samples - 1))
     n_samples = jnp.floor(norm / step).astype(jnp.int32)
 
-    # key-side 5-sample patch along the epipolar direction (x / y kept as
-    # separate component arrays — see PixelGeometry)
+    # key-side patch direction; step size scales with inverse-depth ratio
     key_step_size = ratio * step
     d_key = x_key - e_key
     aligned = jnp.dot(ref_direction, d_key) > 0.0
     key_dir = jnp.where(aligned, 1.0, -1.0) * _normalize_vec(d_key)
-    steps = jnp.arange(-(N_KEY_SAMPLES // 2), N_KEY_SAMPLES // 2 + 1,
-                       dtype=f32)
-    us_key_x = ((x_key[0] + steps * (key_step_size * key_dir[0]))
-                * key_focal[0] + key_offset[0])
-    us_key_y = ((x_key[1] + steps * (key_step_size * key_dir[1]))
-                * key_focal[1] + key_offset[1])
-    flag_key_oob = jnp.logical_not(
-        jnp.all(_in_image_xy(us_key_x, us_key_y, key_shape)))
 
-    # ref-side epipolar samples
-    idx = jnp.arange(n_ref_samples, dtype=f32)
-    us_ref_x = ((x_min_ref[0] + idx * (step * ref_dir_unit[0]))
-                * ref_focal[0] + ref_offset[0])
-    us_ref_y = ((x_min_ref[1] + idx * (step * ref_dir_unit[1]))
-                * ref_focal[1] + ref_offset[1])
+    # key patch in-range test via its two ENDPOINTS (+-2 steps): the image
+    # box is convex, so both endpoints in range <=> all 5 samples in range
+    half = jnp.asarray(N_KEY_SAMPLES // 2, f32)
+    e0x = ((x_key[0] - half * key_step_size * key_dir[0])
+           * key_focal[0] + key_offset[0])
+    e0y = ((x_key[1] - half * key_step_size * key_dir[1])
+           * key_focal[1] + key_offset[1])
+    e1x = ((x_key[0] + half * key_step_size * key_dir[0])
+           * key_focal[0] + key_offset[0])
+    e1y = ((x_key[1] + half * key_step_size * key_dir[1])
+           * key_focal[1] + key_offset[1])
+    flag_key_oob = jnp.logical_not(_in_image_xy(e0x, e0y, key_shape)
+                                   & _in_image_xy(e1x, e1y, key_shape))
 
     flag_too_short = n_samples < N_KEY_SAMPLES
+    u_near = x_min_ref * ref_focal + ref_offset
     x_far = x_min_ref + (n_samples.astype(f32) - 1.0) * step * ref_dir_unit
     u_far = x_far * ref_focal + ref_offset
     flag_close_oob = jnp.logical_not(
-        _in_image_xy(us_ref_x[0], us_ref_y[0], ref_shape))
+        _in_image_xy(u_near[0], u_near[1], ref_shape))
     flag_far_oob = jnp.logical_not(_in_image(u_far, ref_shape))
 
-    return PixelGeometry(us_key_x, us_key_y, us_ref_x, us_ref_y,
-                         x_key, x_min_ref, ref_dir_unit,
-                         step, key_step_size, n_samples, min_depth,
-                         max_depth, flag_neg_ref, flag_key_oob,
-                         flag_too_short, flag_close_oob, flag_far_oob)
+    return PixelGeoScalars(
+        x_key_x=x_key[0], x_key_y=x_key[1],
+        x_min_ref_x=x_min_ref[0], x_min_ref_y=x_min_ref[1],
+        ref_dir_x=ref_dir_unit[0], ref_dir_y=ref_dir_unit[1],
+        key_dir_x=key_dir[0], key_dir_y=key_dir[1],
+        step=step, key_step_size=key_step_size, n_samples=n_samples,
+        min_depth=min_depth, max_depth=max_depth,
+        flag_neg_ref=flag_neg_ref, flag_key_oob=flag_key_oob,
+        flag_too_short=flag_too_short, flag_close_oob=flag_close_oob,
+        flag_far_oob=flag_far_oob)
 
 
-def _pixel_estimate(geo: PixelGeometry, key_intensities, ref_intensities,
+def _pixel_estimate(geo: PixelGeoScalars, key_intensities, ref_intensities,
                     grad, prior_inv_depth, prior_variance, T_rk,
                     params: SemiDenseParams):
     """Per-pixel estimation from sampled intensities (vmappable)."""
     f32 = key_intensities.dtype
+    x_key = jnp.stack([geo.x_key_x, geo.x_key_y])
+    x_min_ref = jnp.stack([geo.x_min_ref_x, geo.x_min_ref_y])
+    ref_dir_unit = jnp.stack([geo.ref_dir_x, geo.ref_dir_y])
 
     key_gradient = jnp.linalg.norm(gradient1d(key_intensities))
     flag_insufficient = key_gradient < params.min_gradient
 
     match_idx = _ssd_search(ref_intensities, key_intensities, geo.n_samples)
-    x_ref_match = (geo.x_min_ref
-                   + match_idx.astype(f32) * geo.step * geo.ref_dir_unit)
+    x_ref_match = (x_min_ref
+                   + match_idx.astype(f32) * geo.step * ref_dir_unit)
 
-    key_depth = calc_depth0(T_rk, geo.x_key, x_ref_match)
+    key_depth = calc_depth0(T_rk, x_key, x_ref_match)
     new_inv_depth = safe_invert(key_depth)
 
     # variance model
-    alpha = _calc_alpha(T_rk, geo.x_key, (geo.min_depth, geo.max_depth),
+    alpha = _calc_alpha(T_rk, x_key, (geo.min_depth, geo.max_depth),
                         key_depth)
     t_rk = get_translation(T_rk)
-    geo_v = _geo_var(geo.x_key, t_rk, grad)
+    geo_v = _geo_var(x_key, t_rk, grad)
     photo = _photo_var(key_gradient / (geo.key_step_size + EPSILON))
     a2 = alpha * alpha
     variance = a2 * (params.geo_coeff ** 2 * geo_v
@@ -375,14 +418,21 @@ def estimate_pixel(u_key, prior_inv_depth, prior_variance,
     """
     key_shape = key_image.shape
     ref_shape = ref_images.shape[1:]
+    f32 = u_key.dtype
 
     geo = _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk,
                           e_key, key_focal, key_offset, key_shape,
                           ref_focal, ref_offset, ref_shape,
                           params, n_ref_samples)
-    key_intensities = _interp_image_xy(key_image, geo.us_key_x, geo.us_key_y)
+    steps = jnp.arange(-(N_KEY_SAMPLES // 2), N_KEY_SAMPLES // 2 + 1,
+                       dtype=f32)
+    us_key_x, us_key_y = _key_coords(geo, steps, key_focal, key_offset)
+    idx = jnp.arange(n_ref_samples, dtype=f32)
+    us_ref_x, us_ref_y = _ref_coords(geo, idx, ref_focal[0], ref_focal[1],
+                                     ref_offset[0], ref_offset[1])
+    key_intensities = _interp_image_xy(key_image, us_key_x, us_key_y)
     ref_intensities = _interp_stack_xy(ref_images, ref_index,
-                                       geo.us_ref_x, geo.us_ref_y)
+                                       us_ref_x, us_ref_y)
     ux = jnp.clip(u_key[0].astype(jnp.int32), 0, key_shape[1] - 1)
     uy = jnp.clip(u_key[1].astype(jnp.int32), 0, key_shape[0] - 1)
     grad = jnp.stack([grad_x_map[uy, ux], grad_y_map[uy, ux]])
@@ -496,27 +546,30 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
     key_shape = keyframe.image.shape
     ref_shape = refframes.image.shape[1:]
 
-    # stage 1 (vmapped over the minor axis): pure geometry, no image access
-    vec_axes = PixelGeometry(
-        us_key_x=1, us_key_y=1, us_ref_x=1, us_ref_y=1,
-        x_key=1, x_min_ref=1, ref_dir_unit=1,
-        step=0, key_step_size=0, n_samples=0, min_depth=0, max_depth=0,
-        flag_neg_ref=0, flag_key_oob=0, flag_too_short=0,
-        flag_close_oob=0, flag_far_oob=0)
+    # stage 1 (vmapped over pixels): pure geometry, SCALAR outputs only —
+    # every field comes out (N,), so no vmap-chosen minor layout can leak
+    # into the gather indices (see PixelGeoScalars)
     geo = jax.vmap(
         lambda u, pi, pv, T16, e, rf, ro: _pixel_geometry(
             u, pi, pv, T16.reshape(4, 4), e, keyframe.focal_length,
             keyframe.offset, key_shape, rf, ro, ref_shape, params,
             n_ref_samples),
-        in_axes=(0, 0, 0, 1, 1, 1, 1), out_axes=vec_axes,
+        in_axes=(0, 0, 0, 1, 1, 1, 1), out_axes=0,
     )(us, prior_inv, prior_v, T_cols, e_cols, rf_cols, ro_cols)
 
-    # stage 2 (batched, NOT vmapped): all image sampling at once, on
-    # separate (S, N) x / y component arrays
-    key_int = _interp_image_xy(keyframe.image,
-                               geo.us_key_x, geo.us_key_y)       # (5, N)
+    # stage 2 (batched, NOT vmapped): sample coordinates built by
+    # broadcasting the (N,) scalars against the sample axis — (5, N) /
+    # (S, N) row-major by construction — then all image gathers at once
+    steps = jnp.arange(-(N_KEY_SAMPLES // 2), N_KEY_SAMPLES // 2 + 1,
+                       dtype=f32)[:, None]                        # (5, 1)
+    us_key_x, us_key_y = _key_coords(geo, steps, keyframe.focal_length,
+                                     keyframe.offset)             # (5, N)
+    idx = jnp.arange(n_ref_samples, dtype=f32)[:, None]           # (S, 1)
+    us_ref_x, us_ref_y = _ref_coords(geo, idx, rf_cols[0], rf_cols[1],
+                                     ro_cols[0], ro_cols[1])      # (S, N)
+    key_int = _interp_image_xy(keyframe.image, us_key_x, us_key_y)
     ref_int = _interp_stack_xy(refframes.image, ridx[None, :],
-                               geo.us_ref_x, geo.us_ref_y)       # (S, N)
+                               us_ref_x, us_ref_y)                # (S, N)
     ux = jnp.clip(us[:, 0].astype(jnp.int32), 0, key_shape[1] - 1)
     uy = jnp.clip(us[:, 1].astype(jnp.int32), 0, key_shape[0] - 1)
     flat_idx = uy * key_shape[1] + ux
@@ -541,7 +594,7 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
         return safe_invert(inv_d), var, flag
 
     depth, variance, flags = jax.vmap(
-        post, in_axes=(vec_axes, 1, 1, 1, 0, 0, 1, 0), out_axes=0)(
+        post, in_axes=(0, 1, 1, 1, 0, 0, 1, 0), out_axes=0)(
         geo, key_int, ref_int, grad, prior_inv, prior_v, T_cols, age)
     return (depth.reshape(H, W), variance.reshape(H, W),
             flags.reshape(H, W))
