@@ -1,0 +1,434 @@
+"""Plane-sweep semi-dense depth update — the TPU fast path.
+
+Parity surface: the same per-pixel algorithm as estimator.py (and the
+reference's /root/reference/src/semi_dense/semi_dense.rs:91-158 /
+intensities.rs:11-37), re-parametrized so the image sampling is dense
+instead of scattered:
+
+For inverse depth q, every key pixel's epipolar sample position in the ref
+image is x_ref = pi(R x~ + q t) — i.e. ALL pixels' samples at hypothesis q
+form one plane-induced homography warp H_q = K_ref (R + q t e3^T) K_key^-1
+of the ref image onto the key grid.  Sweeping S inverse-depth planes
+replaces the per-pixel scattered epipolar gathers (143 ms per (64, N)
+jnp.take on a v5e — benchmarks/profile_stage2.py) with S two-pass
+axis-aligned warps (~140 us each — core/warp2pass.py), and the per-pixel
+epipolar line becomes the plane axis of the warped stack: 5 consecutive
+planes are 5 consecutive samples along the pixel's epipolar line.
+
+Differences vs the scattered estimator (estimator.py), by design:
+- Samples are uniform in INVERSE DEPTH (shared planes) instead of uniform
+  in epipolar arc length per pixel; the +-2 sigma prior range becomes a
+  per-pixel window mask over planes, padded by half a plane so narrow
+  ranges still match their nearest plane.
+- The SSD minimum is refined to subpixel precision by parabolic
+  interpolation over the three errors around the winning window — depth
+  resolution is not limited to the plane spacing (VERDICT r2 item 3).
+- Per-pixel failure flags keep the reference's priority chain; geometry
+  flags come from the same ``_pixel_geometry`` as the scattered path.
+
+The normalized-SSD window search + masked argmin + neighbor extraction is
+a Pallas kernel (``_ssd_search_pallas``): the (S, rows, W) plane slab stays
+in VMEM and the (S-4, H, W) error volume is never materialized in HBM —
+the TPU equivalent of the reference's hand-written Rust inner loop
+(intensities.rs:11-37).  A pure-XLA fallback runs on CPU (tests) and
+verifies the kernel bit-for-bit on chip (tests/vo/test_sweep.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tadataka_tpu.flags import Flag
+from tadataka_tpu.core.gradients import sobel_x, sobel_y
+from tadataka_tpu.core.transforms import (
+    get_rotation, get_translation, inv_motion_matrix)
+from tadataka_tpu.core.warp2pass import homography_warp, displacement_warp
+from tadataka_tpu.vo.semi_dense.estimator import (
+    EPSILON, safe_invert, _pixel_geometry, _warp_point, _calc_alpha,
+    _geo_var, _photo_var, calc_key_epipole)
+from tadataka_tpu.vo.semi_dense.hypothesis import (
+    clamped_range, check_args_flag)
+from tadataka_tpu.vo.semi_dense.params import SemiDenseParams, N_KEY_SAMPLES
+
+DEFAULT_N_PLANES = 64
+_ROW_TILE = 8
+_INF = 3.0e38  # plain float: jnp constants can't be captured by kernels
+
+
+# ------------------------------------------------------------ plane warps
+
+def plane_homography(T_rk, q, key_focal, key_offset, ref_focal, ref_offset):
+    """Pixel-space homography of the inverse-depth-q plane: key -> ref.
+
+    x_ref_px ~ K_ref (R + q t e3^T) K_key^-1 x_key_px.
+    """
+    R = get_rotation(T_rk)
+    t = get_translation(T_rk)
+    A = R + q * t[:, None] * jnp.array([0.0, 0.0, 1.0], T_rk.dtype)[None, :]
+    K_ref = jnp.array(
+        [[ref_focal[0], 0.0, ref_offset[0]],
+         [0.0, ref_focal[1], ref_offset[1]],
+         [0.0, 0.0, 1.0]], T_rk.dtype)
+    K_key_inv = jnp.array(
+        [[1.0 / key_focal[0], 0.0, -key_offset[0] / key_focal[0]],
+         [0.0, 1.0 / key_focal[1], -key_offset[1] / key_focal[1]],
+         [0.0, 0.0, 1.0]], T_rk.dtype)
+    return K_ref @ A @ K_key_inv
+
+
+def warp_plane_stack(ref_image, T_rk, qs, key_focal, key_offset,
+                     ref_focal, ref_offset):
+    """(S, H, W) stack of the ref image warped onto the key grid at each
+    inverse-depth plane; out-of-image / behind-camera lanes hold -1."""
+
+    def one(_, q):
+        H33 = plane_homography(T_rk, q, key_focal, key_offset,
+                               ref_focal, ref_offset)
+        warped, _ = homography_warp(ref_image, H33, fill=-1.0)
+        return None, warped
+
+    _, stack = jax.lax.scan(one, None, qs)
+    return stack
+
+
+# ----------------------------------------------------------- SSD search
+
+def _window_errors_xla(V, K, mlo, mhi):
+    """(M, H, W) masked normalized-SSD errors — XLA fallback/reference."""
+    S = V.shape[0]
+    Kw = K.shape[0]
+    M = S - Kw + 1
+    Kn = jnp.sqrt(jnp.sum(K * K, axis=0)) + EPSILON        # (H, W)
+    errs = []
+    for m in range(M):
+        w = [V[m + k] for k in range(Kw)]
+        corr = sum(wk * K[k] for k, wk in enumerate(w))
+        wn2 = sum(wk * wk for wk in w)
+        valid = w[0] >= 0.0
+        for wk in w[1:]:
+            valid = valid & (wk >= 0.0)
+        valid = valid & (jnp.float32(m) >= mlo) & (jnp.float32(m) <= mhi)
+        err = 2.0 - 2.0 * corr / (jnp.sqrt(wn2) * Kn + EPSILON)
+        errs.append(jnp.where(valid, err, _INF))
+    return jnp.stack(errs)
+
+
+def _ssd_search_xla(V, K, mlo, mhi):
+    errs = _window_errors_xla(V, K, mlo, mhi)              # (M, H, W)
+    M = errs.shape[0]
+    best_m = jnp.argmin(errs, axis=0)                      # (H, W)
+    ec = jnp.take_along_axis(errs, best_m[None], axis=0)[0]
+    ep = jnp.take_along_axis(errs, jnp.maximum(best_m - 1, 0)[None],
+                             axis=0)[0]
+    en = jnp.take_along_axis(errs, jnp.minimum(best_m + 1, M - 1)[None],
+                             axis=0)[0]
+    ep = jnp.where(best_m == 0, _INF, ep)
+    en = jnp.where(best_m == M - 1, _INF, en)
+    no_match = ec >= _INF
+    return (jnp.where(no_match, -1, best_m).astype(jnp.int32),
+            ec, ep, en)
+
+
+def _ssd_kernel(v_ref, k_ref, mlo_ref, mhi_ref,
+                bm_ref, ec_ref, ep_ref, en_ref):
+    """Fused window search over one row tile; fully unrolled over windows.
+
+    v_ref: (S, Ht, W) warped plane slab (-1 = invalid sample)
+    k_ref: (Kw, Ht, W) key patch stack
+    mlo/mhi: (Ht, W) per-pixel valid window index bounds (f32)
+    outputs: best window index (f32, -1 = none) + its error and the two
+    neighboring windows' errors (for parabolic subpixel refinement).
+    """
+    S = v_ref.shape[0]
+    Kw = k_ref.shape[0]
+    M = S - Kw + 1
+
+    K = [k_ref[k] for k in range(Kw)]
+    Kn = jnp.sqrt(sum(k * k for k in K)) + EPSILON
+    mlo = mlo_ref[:]
+    mhi = mhi_ref[:]
+
+    best = jnp.full(mlo.shape, _INF)
+    bm = jnp.full(mlo.shape, -1.0)
+    ec = jnp.full(mlo.shape, _INF)
+    ep = jnp.full(mlo.shape, _INF)
+    en = jnp.full(mlo.shape, _INF)
+    prev_err = jnp.full(mlo.shape, _INF)
+
+    for m in range(M):
+        w = [v_ref[m + k] for k in range(Kw)]
+        corr = sum(wk * K[k] for k, wk in enumerate(w))
+        wn2 = sum(wk * wk for wk in w)
+        valid = w[0] >= 0.0
+        for wk in w[1:]:
+            valid = valid & (wk >= 0.0)
+        mf = jnp.float32(m)
+        valid = valid & (mf >= mlo) & (mf <= mhi)
+        err = 2.0 - 2.0 * corr / (jnp.sqrt(wn2) * Kn + EPSILON)
+        err = jnp.where(valid, err, _INF)
+
+        # this window is the right neighbor of the current best
+        en = jnp.where(mf == bm + 1.0, err, en)
+        is_new = err < best
+        ep = jnp.where(is_new, prev_err, ep)
+        en = jnp.where(is_new, _INF, en)
+        ec = jnp.where(is_new, err, ec)
+        bm = jnp.where(is_new, mf, bm)
+        best = jnp.minimum(best, err)
+        prev_err = err
+
+    bm_ref[:] = bm
+    ec_ref[:] = ec
+    ep_ref[:] = ep
+    en_ref[:] = en
+
+
+def _ssd_search_pallas(V, K, mlo, mhi):
+    S, H, W = V.shape
+    Kw = K.shape[0]
+    Ht = _ROW_TILE
+    assert H % Ht == 0, "pad rows to a multiple of the row tile"
+    grid = (H // Ht,)
+    out = pl.pallas_call(
+        _ssd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32)] * 4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((S, Ht, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kw, Ht, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ht, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ht, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((Ht, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 4,
+    )(V, K, mlo, mhi)
+    bm, ec, ep, en = out
+    return bm.astype(jnp.int32), ec, ep, en
+
+
+def ssd_search(V, K, mlo, mhi, use_pallas=None):
+    """Masked normalized-SSD window search over the plane stack.
+
+    Returns (best_m (H,W) i32 with -1 = no valid window, err_center,
+    err_prev, err_next).  ``use_pallas=None`` picks the Pallas kernel on
+    TPU and the XLA fallback elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    H = V.shape[1]
+    if use_pallas and H % _ROW_TILE == 0:
+        return _ssd_search_pallas(V, K, mlo, mhi)
+    return _ssd_search_xla(V, K, mlo, mhi)
+
+
+# ------------------------------------------------------------- key patch
+
+def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
+                     dir_y_map):
+    """(5, H, W) key-patch samples at offsets -2..2 along the per-pixel
+    epipolar direction (epipolar.rs:22), via two-pass displacement warps."""
+    half = N_KEY_SAMPLES // 2
+    planes = []
+    for k in range(-half, half + 1):
+        if k == 0:
+            planes.append(key_image)
+            continue
+        dx = k * step_size_map * dir_x_map * key_focal[0]
+        dy = k * step_size_map * dir_y_map * key_focal[1]
+        warped, _ = displacement_warp(key_image, dx, dy)
+        planes.append(warped)
+    return jnp.stack(planes)
+
+
+# ------------------------------------------------------------- full update
+
+@partial(jax.jit, static_argnames=("n_planes", "use_pallas"))
+def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
+                       prior_variance, params: SemiDenseParams,
+                       n_planes: int = DEFAULT_N_PLANES, use_pallas=None):
+    """Full-map inverse-depth update via plane sweep.
+
+    Same contract as estimator.update_depth (semi_dense.rs:160-237):
+    keyframe + stacked refframe history, per-pixel age-indexed refframe,
+    returns (depth_map, variance_map, flag_map).
+    """
+    H, W = prior_depth.shape
+    R_frames = refframes.image.shape[0]
+    f32 = keyframe.image.dtype
+    N = H * W
+
+    T_wk = keyframe.transform_wf
+    T_rk_all = jax.vmap(
+        lambda T_wr: inv_motion_matrix(T_wr) @ T_wk)(refframes.transform_wf)
+    e_key_all = jax.vmap(
+        lambda T_wr: calc_key_epipole(T_wk, T_wr))(refframes.transform_wf)
+
+    gx = sobel_x(keyframe.image, mode="zero")
+    gy = sobel_y(keyframe.image, mode="zero")
+
+    xs = jnp.arange(W, dtype=f32)
+    ys = jnp.arange(H, dtype=f32)
+    X, Y = jnp.meshgrid(xs, ys)
+    us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+
+    age = age_map.ravel().astype(jnp.int32)
+    prior_d = prior_depth.ravel().astype(f32)
+    prior_v = prior_variance.ravel().astype(f32)
+    prior_inv = safe_invert(prior_d)
+    ridx = jnp.clip(R_frames - age, 0, R_frames - 1)
+
+    T_cols = T_rk_all.reshape(R_frames, 16).T[:, ridx]       # (16, N)
+    e_cols = e_key_all.T[:, ridx]                            # (2, N)
+    rf_cols = refframes.focal_length.T[:, ridx]              # (2, N)
+    ro_cols = refframes.offset.T[:, ridx]                    # (2, N)
+
+    key_shape = keyframe.image.shape
+    ref_shape = refframes.image.shape[1:]
+
+    # stage A: per-pixel geometry scalars + failure flags (shared with the
+    # scattered estimator — estimator.py::_pixel_geometry)
+    geo = jax.vmap(
+        lambda u, pi_, pv, T16, e, rf, ro: _pixel_geometry(
+            u, pi_, pv, T16.reshape(4, 4), e, keyframe.focal_length,
+            keyframe.offset, key_shape, rf, ro, ref_shape, params,
+            n_planes),
+        in_axes=(0, 0, 0, 1, 1, 1, 1), out_axes=0,
+    )(us, prior_inv, prior_v, T_cols, e_cols, rf_cols, ro_cols)
+
+    # plane grid (uniform in inverse depth over the valid global range)
+    q0 = params.min_inv_depth.astype(f32)
+    q1 = params.max_inv_depth.astype(f32)
+    dq = (q1 - q0) / (n_planes - 1)
+    qs = q0 + dq * jnp.arange(n_planes, dtype=f32)
+
+    # per-pixel valid window index bounds from the +-2 sigma range;
+    # half-plane tolerance so a narrow range still matches its nearest plane
+    lo, hi = clamped_range(prior_inv, prior_v, params.min_inv_depth,
+                           params.max_inv_depth)
+    half_w = N_KEY_SAMPLES // 2
+    tol = 0.5 * dq
+    mlo = (jnp.ceil((lo - tol - q0) / dq) - half_w).reshape(H, W)
+    mhi = (jnp.floor((hi + tol - q0) / dq) - half_w).reshape(H, W)
+
+    # Per-pixel epipolar arc length of one plane step: consecutive windows
+    # move along the pixel's epipolar line by the distance between
+    # consecutive plane projections, NOT by the scattered path's
+    # ``ref_step_size`` — the key template must be sampled at the sweep's
+    # own spacing for the SSD scales to match (semi_dense.rs:27's ratio
+    # rule applied to the plane parametrization).
+    def _arc_step(u, T16):
+        T = T16.reshape(4, 4)
+        x_key = (u - keyframe.offset) / keyframe.focal_length
+        xa, _ = _warp_point(T, x_key, safe_invert(q1))
+        xb, _ = _warp_point(T, x_key, safe_invert(q0))
+        return jnp.linalg.norm(xb - xa) / (n_planes - 1)
+
+    step_sweep = jax.vmap(_arc_step, in_axes=(0, 1))(us, T_cols)    # (N,)
+    ratio = geo.key_step_size / (geo.step + EPSILON)
+    key_step_sweep = ratio * step_sweep                             # (N,)
+
+    # key patch stack + its gradient (epipolar.rs:22, semi_dense.rs:134).
+    # geo.key_dir is aligned with the scattered path's sample order, which
+    # walks the line from min depth (q=hi) toward max depth (q=lo); the
+    # plane axis runs in INCREASING q, so the patch direction flips.
+    step_map = key_step_sweep.reshape(H, W)
+    dirx_map = -geo.key_dir_x.reshape(H, W)
+    diry_map = -geo.key_dir_y.reshape(H, W)
+    K_stack = _key_patch_stack(keyframe.image, keyframe.focal_length,
+                               step_map, dirx_map, diry_map)   # (5, H, W)
+    key_grad_map = jnp.sqrt(
+        jnp.sum(jnp.diff(K_stack, axis=0) ** 2, axis=0))       # (H, W)
+
+    # per-refframe sweep + SSD search; select per pixel by its age index
+    bm = jnp.full((H, W), -1, jnp.int32)
+    ec = jnp.full((H, W), _INF)
+    ep = jnp.full((H, W), _INF)
+    en = jnp.full((H, W), _INF)
+    ridx_map = ridx.reshape(H, W)
+    for r in range(R_frames):
+        V = warp_plane_stack(refframes.image[r], T_rk_all[r], qs,
+                             keyframe.focal_length, keyframe.offset,
+                             refframes.focal_length[r], refframes.offset[r])
+        bm_r, ec_r, ep_r, en_r = ssd_search(V, K_stack, mlo, mhi,
+                                            use_pallas=use_pallas)
+        sel = ridx_map == r
+        bm = jnp.where(sel, bm_r, bm)
+        ec = jnp.where(sel, ec_r, ec)
+        ep = jnp.where(sel, ep_r, ep)
+        en = jnp.where(sel, en_r, en)
+
+    # parabolic subpixel refinement in inverse-depth units
+    denom = ep - 2.0 * ec + en
+    neighbors_ok = (ep < _INF) & (en < _INF) & (jnp.abs(denom) > EPSILON)
+    delta = jnp.where(neighbors_ok,
+                      jnp.clip(0.5 * (ep - en) / jnp.where(
+                          neighbors_ok, denom, 1.0), -0.5, 0.5),
+                      0.0)
+    center = bm.astype(f32) + half_w + delta
+    q_star = q0 + center * dq
+    q_star = jnp.clip(q_star.ravel(), lo, hi)
+    no_match = (bm < 0).ravel()
+
+    # stage C: depth / variance / flags per pixel (semi_dense.rs:105-158)
+    def post(u, q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv, p_var, T16,
+             a):
+        T_rk = T16.reshape(4, 4)
+        x_key = jnp.stack([g.x_key_x, g.x_key_y])
+
+        flag_insufficient = kgrad < params.min_gradient
+        key_depth = safe_invert(q_m)
+        new_inv_depth = q_m
+
+        alpha = _calc_alpha(T_rk, x_key, (g.min_depth, g.max_depth),
+                            key_depth)
+        t_rk = get_translation(T_rk)
+        geo_v = _geo_var(x_key, t_rk, jnp.stack([gx_v, gy_v]))
+        photo = _photo_var(kgrad / (ks + EPSILON))
+        a2 = alpha * alpha
+        variance = a2 * (params.geo_coeff ** 2 * geo_v
+                         + params.photo_coeff ** 2 * photo)
+
+        result_flag = check_args_flag(new_inv_depth, variance,
+                                      params.min_inv_depth,
+                                      params.max_inv_depth)
+        flag = result_flag
+        flag = jnp.where(nomatch,
+                         jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
+        flag = jnp.where(g.flag_far_oob,
+                         jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
+        flag = jnp.where(g.flag_close_oob,
+                         jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
+        flag = jnp.where(g.flag_too_short,
+                         jnp.int32(Flag.REF_EPIPOLAR_TOO_SHORT), flag)
+        flag = jnp.where(flag_insufficient,
+                         jnp.int32(Flag.INSUFFICIENT_GRADIENT), flag)
+        flag = jnp.where(g.flag_key_oob,
+                         jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
+        flag = jnp.where(g.flag_neg_ref,
+                         jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
+
+        prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
+                                     params.max_inv_depth)
+        prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
+        not_processed = a == 0
+        flag = jnp.where(prior_bad, prior_flag, flag)
+        flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
+
+        success = flag == jnp.int32(Flag.SUCCESS)
+        out_inv = jnp.where(success, new_inv_depth, p_inv)
+        out_var = jnp.where(success, variance, p_var)
+        return safe_invert(out_inv), out_var, flag
+
+    depth, variance, flags = jax.vmap(
+        post, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0), out_axes=0)(
+        us, q_star, no_match, key_grad_map.ravel(), key_step_sweep,
+        gx.ravel(), gy.ravel(), geo, prior_inv, prior_v, T_cols, age)
+    return (depth.reshape(H, W), variance.reshape(H, W),
+            flags.reshape(H, W))
