@@ -105,25 +105,40 @@ def semi_dense_setup(camera_model, g0, g1, pose0, pose1, D0):
 # ----------------------------------------------------- TPU pipelines
 
 def timeit(fn, n_warmup=1, n_iter=5):
-    import jax
+    """Wall-clock per call, forcing completion with a scalar host read.
+
+    CRITICAL: through the axon TPU tunnel, ``jax.block_until_ready`` does
+    NOT reliably wait for execution (measured: a program that takes
+    1110 ms per call 'timed' at 0.03 ms with block_until_ready alone).
+    Only a host read of a value derived from every output forces the
+    queue; each timing batch ends with one.
+    """
+    import jax.numpy as jnp
+
+    def force(out):
+        leaves = [out] if not isinstance(out, (tuple, list)) else out
+        return float(sum(jnp.sum(o) for o in leaves))
+
     for _ in range(n_warmup):
-        jax.block_until_ready(fn())
+        force(fn())
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = fn()
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / n_iter
 
 
 def bench_full_step(camera_model, g0, g1, pose0, pose1, D0):
-    """DVO + age + propagate + update_depth as ONE jitted program."""
+    """DVO + age + propagate as one jitted program, then the planned
+    fast-path depth update (tent / rect sweep — fast.plan_update)."""
     import jax
     import jax.numpy as jnp
     from tadataka_tpu.core.transforms import motion_matrix
     from tadataka_tpu.vo.dvo import estimate_pose_pyramid
     from tadataka_tpu.vo.semi_dense import propagate, increment_age
-    from tadataka_tpu.vo.semi_dense.estimator import (
-        update_depth, safe_invert)
+    from tadataka_tpu.vo.semi_dense.estimator import safe_invert
+    from tadataka_tpu.vo.semi_dense.fast import (
+        plan_update, update_depth_fast)
 
     cam, params, kf, refs, prior, variance, age = semi_dense_setup(
         camera_model, g0, g1, pose0, pose1, D0)
@@ -135,33 +150,44 @@ def bench_full_step(camera_model, g0, g1, pose0, pose1, D0):
     eye = jnp.eye(3, dtype=jnp.float32)
     zero = jnp.zeros(3, dtype=jnp.float32)
     cm = camera_model
+    plan = plan_update(kf, refs, params)
 
     @jax.jit
-    def step(I0, D0, V0, age, I1):
+    def track(I0, D0, V0, age, I1):
         weights = safe_invert(V0)
         R, t = estimate_pose_pyramid(cm, cm, I0, D0, I1, weights,
                                      eye, zero, 5, 20, 1.5, "map")
         T10 = motion_matrix(R, t)
         age1 = increment_age(age, cam, cam, T10, D0)
         d1, v1 = propagate(T10, cam, cam, D0, V0, 200.0, 1.0, 0.01)
-        return update_depth(kf, refs, age1, d1, v1, params,
-                            n_ref_samples=N_REF_SAMPLES)
+        return age1, d1, v1
 
-    dt = timeit(lambda: step(I0, prior, variance, age, I1))
-    return 1.0 / dt
+    def step():
+        age1, d1, v1 = track(I0, prior, variance, age, I1)
+        return update_depth_fast(kf, refs, age1, d1, v1, params, plan=plan)
+
+    dt = timeit(step)
+    return 1.0 / dt, plan.path
 
 
 def bench_update_depth_only(camera_model, g0, g1, pose0, pose1, D0):
+    """Planned fast path + the scattered estimator for comparison."""
     import jax.numpy as jnp
     from tadataka_tpu.vo.semi_dense.estimator import update_depth
+    from tadataka_tpu.vo.semi_dense.fast import (
+        plan_update, update_depth_fast)
     cam, params, kf, refs, prior, variance, age = semi_dense_setup(
         camera_model, g0, g1, pose0, pose1, D0)
     prior = jnp.asarray(prior)
     variance = jnp.asarray(variance)
     age = jnp.asarray(age)
-    dt = timeit(lambda: update_depth(kf, refs, age, prior, variance, params,
-                                     n_ref_samples=N_REF_SAMPLES))
-    return 1.0 / dt
+    plan = plan_update(kf, refs, params)
+    dt = timeit(lambda: update_depth_fast(kf, refs, age, prior, variance,
+                                          params, plan=plan))
+    dt_scatter = timeit(lambda: update_depth(
+        kf, refs, age, prior, variance, params,
+        n_ref_samples=N_REF_SAMPLES), n_iter=3)
+    return 1.0 / dt, 1.0 / dt_scatter
 
 
 def bench_dvo(camera_model, g0, g1, D0):
@@ -198,19 +224,24 @@ def bench_feature_vo(ds):
         if pose is not None:
             est.append(np.asarray(pose.t))
             gt.append(np.asarray(L.pose.t))
-    dt = float(np.median(per_frame[1:]))
+    # ADVICE r2: guard short datasets; frame 0 pays residual compile cost
+    timed = per_frame[1:] if len(per_frame) >= 2 else per_frame
+    dt = float(np.median(timed))
+    gt = np.stack(gt)
     ate = float(absolute_trajectory_error(jnp.asarray(np.stack(est)),
-                                          jnp.asarray(np.stack(gt))))
-    return 1.0 / dt, ate
+                                          jnp.asarray(gt)))
+    span = float(np.linalg.norm(gt - gt[0], axis=1).max())
+    return 1.0 / dt, ate, span
 
 
 # ------------------------------------------------- NumPy CPU anchor
 
-def numpy_update_depth(g0, g1, pose0, pose1, D0, cam, n_iter=1):
+def numpy_update_depth(g0, g1, pose0, pose1, D0, cam, n_iter=3):
     """Fully vectorized NumPy port of the full-map epipolar update — the
     CPU baseline (stronger than the reference's serial per-pixel Rust
     loop: same math, whole-map array ops, zero interpreter overhead per
-    pixel)."""
+    pixel).  One untimed warm-up pass absorbs allocation/page faults
+    (ADVICE r2)."""
     H, W = g0.shape
     f = np.asarray(cam.focal_length, np.float32)
     c = np.asarray(cam.offset, np.float32)
@@ -238,7 +269,9 @@ def numpy_update_depth(g0, g1, pose0, pose1, D0, cam, n_iter=1):
                 + ax * ay * img[y0 + 1, x0 + 1])
 
     t0 = time.perf_counter()
-    for _ in range(n_iter):
+    for it in range(n_iter + 1):
+        if it == 1:                    # discard the warm-up pass
+            t0 = time.perf_counter()
         xs = (np.arange(W) - c[0]) / f[0]
         ys = (np.arange(H) - c[1]) / f[1]
         X, Y = np.meshgrid(xs, ys)
@@ -309,9 +342,10 @@ def main():
     ds, camera_model, g0, g1, pose0, pose1, D0, scene = load_scene()
     H, W = g0.shape
 
-    fps_full = bench_full_step(camera_model, g0, g1, pose0, pose1, D0)
-    fps_update = bench_update_depth_only(camera_model, g0, g1,
-                                         pose0, pose1, D0)
+    fps_full, update_path = bench_full_step(camera_model, g0, g1,
+                                            pose0, pose1, D0)
+    fps_update, fps_scatter = bench_update_depth_only(camera_model, g0, g1,
+                                                      pose0, pose1, D0)
     fps_dvo = bench_dvo(camera_model, g0, g1, D0)
     fps_anchor, _ = numpy_update_depth(
         g0, g1, pose0, pose1, D0, camera_model.camera_parameters)
@@ -319,7 +353,9 @@ def main():
     extras = {
         "scene": scene,
         "resolution": f"{H}x{W}",
+        "update_depth_path": update_path,
         "update_depth_only_fps": round(fps_update, 3),
+        "update_depth_scatter_fps": round(fps_scatter, 3),
         "dvo_tracking_fps": round(fps_dvo, 3),
         "baseline": "vectorized-NumPy full-map epipolar update on host CPU "
                     "(reference publishes no numbers; its Rust toolchain "
@@ -327,10 +363,10 @@ def main():
         "baseline_update_depth_fps": round(fps_anchor, 3),
     }
     if ds is not None and hasattr(ds, "BASELINE"):
-        fps_fvo, ate = bench_feature_vo(ds)
+        fps_fvo, ate, span = bench_feature_vo(ds)
         extras["feature_vo_fps"] = round(fps_fvo, 3)
         extras["feature_vo_ate_cm"] = round(ate, 4)
-        extras["feature_vo_trajectory_span_cm"] = 4.8
+        extras["feature_vo_trajectory_span_cm"] = round(span, 3)
 
     result = {
         "metric": "semi-dense VO full step (DVO+age+propagate+update_depth)"

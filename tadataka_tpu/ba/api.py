@@ -33,22 +33,47 @@ def run_ba(viewpoint_indices, point_indices, poses, points, keypoints_true,
 
     Mirrors run_ba (local_ba.py:137-152): max 5 LM iterations, loose
     relative threshold — BA here is a refinement step inside the VO loop.
+
+    Observations and points are padded to power-of-two capacities with
+    zero-weight rows so the jitted LM program compiles O(log max_count)
+    times per run instead of every frame (padded points receive no
+    observations; LM damping keeps their Schur blocks invertible and
+    their garbage updates are sliced away).
     """
-    rotvecs = jnp.stack([log_so3(p.R) for p in poses])
-    ts = jnp.stack([jnp.asarray(p.t) for p in poses])
-    pose_params = jnp.concatenate([rotvecs, ts], axis=-1)
+    from tadataka_tpu.utils.padding import pow2_cap, pad_rows
+
+    # numpy-side packing: stacking a VARIABLE number of poses with jnp
+    # would compile a new concatenate per window size
+    rotvecs = np.stack([np.asarray(log_so3(p.R)) for p in poses])
+    ts = np.stack([np.asarray(p.t) for p in poses])
+    pose_params = np.concatenate([rotvecs, ts], axis=-1).astype(np.float32)
+
+    n_obs = len(keypoints_true)
+    n_pts = len(points)
+    n_poses = len(poses)
+    obs_cap = pow2_cap(n_obs)
+    pts_cap = pow2_cap(n_pts)
+    pose_cap = pow2_cap(n_poses, lo=4)    # window sizes bucket to {4, 8, ...}
+    weights = pad_rows(np.ones(n_obs, np.float32), obs_cap, 0.0)
+    vi = pad_rows(np.asarray(viewpoint_indices, np.int32), obs_cap, 0)
+    pi_ = pad_rows(np.asarray(point_indices, np.int32), obs_cap, 0)
+    x_true = pad_rows(np.asarray(keypoints_true, np.float32), obs_cap, 0.0)
+    pts = pad_rows(np.asarray(points, np.float32), pts_cap, 1.0)
+    pose_params = pad_rows(pose_params, pose_cap, 0.0)
 
     new_params, new_points, _ = lm_solve(
-        pose_params, jnp.asarray(points),
-        jnp.asarray(viewpoint_indices), jnp.asarray(point_indices),
-        jnp.asarray(keypoints_true),
+        jnp.asarray(pose_params), jnp.asarray(pts),
+        jnp.asarray(vi), jnp.asarray(pi_), jnp.asarray(x_true),
+        weights=jnp.asarray(weights),
         max_iter=max_iter,
         absolute_error_threshold=1e-9,
         relative_error_threshold=relative_error_threshold)
 
-    new_poses = [Pose(exp_so3(new_params[j, :3]), new_params[j, 3:])
-                 for j in range(len(poses))]
-    return new_poses, new_points
+    new_params = np.asarray(new_params)
+    new_poses = [Pose(np.asarray(exp_so3(jnp.asarray(new_params[j, :3]))),
+                      new_params[j, 3:])
+                 for j in range(n_poses)]
+    return new_poses, np.asarray(new_points)[:n_pts]
 
 
 def try_run_ba(viewpoint_indices, point_indices, poses, points,

@@ -1,0 +1,166 @@
+"""Gather-free bounded-displacement image warps (tent-weighted shift sums).
+
+Why: XLA:TPU lowers every generic scattered gather — including
+``take_along_axis`` along one image axis — at ~14 ns per element (measured
+honestly with a forced scalar read; a 480x640 single-axis gather costs
+4.4 ms, the full (64, 480, 640) plane-stack warp over 1.1 s), and Mosaic's
+in-kernel ``tpu.dynamic_gather`` only supports a single source vreg along
+the gather dimension (<= 8 rows f32), so neither XLA nor Pallas offers a
+fast *arbitrary* resample.
+
+What the TPU does run at full vector speed is static shifts (slices) and
+elementwise FMA.  Bilinear sampling at ``x + dx`` with ``|dx| <= D`` is a
+tent-function convolution with spatially-varying weights:
+
+    out[., x] = sum_{k=-D..D} relu(1 - |x_map - (x + k)|) * img[., x + k]
+
+i.e. (2D+1) shifted fused multiply-adds — no gathers anywhere.  For each
+lane at most two ``k`` terms are non-zero, and they are exactly the two
+bilinear taps, so the result equals direct bilinear sampling wherever
+``|x_map - x| <= D``; lanes that exceed the budget are reported invalid.
+
+This caps the warp's displacement, which is exactly the regime of
+*rotation-only* (infinity) homographies between VO frames — the basis of
+the rectified plane sweep (vo/semi_dense/sweep_rect.py): rectification
+rotations move pixels by tens of pixels, while the unbounded translation
+parallax is handled separately as per-plane constant shifts.
+
+Role in the reference: replaces the per-pixel epipolar warps of
+/root/reference/src/warp.rs and src/semi_dense/epipolar.rs:38-54 on the
+semi-dense hot path.
+"""
+
+import jax.numpy as jnp
+
+EPSILON = 1e-16
+
+
+def _tent_pass(img, coord_map, axis_idx, max_shift, axis):
+    """Shared tent shift-sum along ``axis`` (0=rows, 1=cols).
+
+    img: (..., H, W); coord_map: (H, W) float target coordinate along
+    ``axis``; axis_idx: (H, W) the identity coordinate grid along ``axis``.
+    Returns (out, in_budget) where ``in_budget`` marks lanes whose
+    displacement fits the static budget.
+    """
+    n = img.shape[axis - 2]  # H for axis 0, W for axis 1
+    c = jnp.clip(coord_map, 0.0, n - 1.0)
+    disp = c - axis_idx
+    in_budget = jnp.abs(disp) <= max_shift
+
+    pad = [(0, 0)] * (img.ndim - 2) + [(0, 0), (0, 0)]
+    pad[axis - 2] = (max_shift, max_shift)
+    padded = jnp.pad(img, pad, mode="edge")
+
+    out = jnp.zeros_like(img)
+    for k in range(-max_shift, max_shift + 1):
+        if axis == 1:
+            shifted = padded[..., :, k + max_shift:k + max_shift + n]
+        else:
+            shifted = padded[..., k + max_shift:k + max_shift + n, :]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(disp - k))
+        out = out + w * shifted
+    return out, in_budget
+
+
+def shift_warp_cols(img, x_map, max_shift):
+    """Bilinear horizontal resample: out[..., y, x] = img[..., y, x_map[y, x]].
+
+    ``x_map`` is float (clamped to the image); exact wherever
+    ``|x_map - x| <= max_shift`` (static int), invalid beyond.
+    Returns (out, in_budget).
+    """
+    W = img.shape[-1]
+    H = img.shape[-2]
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=x_map.dtype), (H, W))
+    return _tent_pass(img, x_map, xs, max_shift, axis=1)
+
+
+def shift_warp_rows(img, y_map, max_shift):
+    """Bilinear vertical resample: out[..., y, x] = img[..., y_map[y, x], x]."""
+    W = img.shape[-1]
+    H = img.shape[-2]
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=y_map.dtype)[:, None], (H, W))
+    return _tent_pass(img, y_map, ys, max_shift, axis=0)
+
+
+def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6):
+    """Homography warp by two tent shift-sum passes (Catmull-Smith order).
+
+    out(x', y') = img(U, V) with (U, V, 1) ~ H33 @ (x', y', 1), for
+    homographies whose displacement field is bounded by the static budgets
+    (max_dx, max_dy) — rotation-only / rectification homographies.
+
+    img may be (H, W) or (C, H, W) (channels warped identically).
+    Returns (warped, valid); invalid lanes (out of image, behind the
+    plane, over budget, or near the scanline-decomposition singularity)
+    hold ``fill``.
+
+    Math identical to core/warp2pass.py::homography_warp — pass A places
+    img(a(x', y), y) on ref row y with a = U(x', V^-1_{x'}(y)), pass B
+    gathers rows at V — but with both per-axis resamples executed as
+    shift sums instead of gathers.
+    """
+    Hi, Wi = img.shape[-2:]
+    f32 = img.dtype
+
+    h00, h01, h02 = H33[0, 0], H33[0, 1], H33[0, 2]
+    h10, h11, h12 = H33[1, 0], H33[1, 1], H33[1, 2]
+    h20, h21, h22 = H33[2, 0], H33[2, 1], H33[2, 2]
+
+    xo = jnp.arange(Wi, dtype=f32)[None, :]
+    yo = jnp.arange(Hi, dtype=f32)[:, None]
+
+    D = h20 * xo + h21 * yo + h22
+    U = (h00 * xo + h01 * yo + h02) / jnp.where(D == 0.0, eps, D)
+    V = (h10 * xo + h11 * yo + h12) / jnp.where(D == 0.0, eps, D)
+
+    # pass A: on source row y, place img(a(x', y), y) at column x'
+    denom_a = h11 - yo * h21
+    sing_a = jnp.abs(denom_a) < eps
+    denom_a = jnp.where(sing_a, eps, denom_a)
+    y_src = (yo * (h20 * xo + h22) - (h10 * xo + h12)) / denom_a
+    D_a = h20 * xo + h21 * y_src + h22
+    a = (h00 * xo + h01 * y_src + h02) / jnp.where(D_a == 0.0, eps, D_a)
+
+    tmp, ok_a = shift_warp_cols(img, a, max_dx)
+    out, ok_b = shift_warp_rows(tmp, jnp.broadcast_to(V, (Hi, Wi)), max_dy)
+
+    valid = ((D > eps)
+             & (U >= 0.0) & (U <= Wi - 1.0)
+             & (V >= 0.0) & (V <= Hi - 1.0)
+             & ok_b & jnp.logical_not(sing_a | (jnp.abs(denom_a) < eps)))
+    # pass A's budget must hold at the rows pass B reads; V within budget
+    # of y' and ok_a smooth — approximate by requiring ok_a at (y', x')
+    valid = valid & ok_a
+    return jnp.where(valid, out, fill), valid
+
+
+def const_shift_cols(img, shift, fill=-1.0):
+    """Bilinear resample at a single *traced* column shift:
+    out[..., y, x] = img[..., y, x + shift]; positions falling outside
+    the image (or touching it with only one tap) hold ``fill``.
+
+    Uses one dynamic slice pair on a padded buffer — O(1) ops however
+    large the shift, unlike the tent sum.  ``shift`` is a traced scalar;
+    its magnitude must be < the image width.
+    """
+    import jax.lax as lax
+    W = img.shape[-1]
+    sf = jnp.floor(shift)
+    frac = shift - sf
+    si = sf.astype(jnp.int32)
+    pad_spec = [(0, 0)] * (img.ndim - 1) + [(W, W + 1)]
+    padded = jnp.pad(img, pad_spec, constant_values=fill)
+    mask = jnp.pad(jnp.ones(img.shape[-1:], img.dtype),
+                   [(W, W + 1)], constant_values=0.0)
+    start = jnp.clip(si + W, 0, padded.shape[-1] - W - 1)
+    starts0 = (0,) * (img.ndim - 1) + (start,)
+    starts1 = (0,) * (img.ndim - 1) + (start + 1,)
+    v0 = lax.dynamic_slice(padded, starts0, img.shape)
+    v1 = lax.dynamic_slice(padded, starts1, img.shape)
+    m0 = lax.dynamic_slice(mask, (start,), (W,))
+    m1 = lax.dynamic_slice(mask, (start + 1,), (W,))
+    out = (1.0 - frac) * v0 + frac * v1
+    valid = (1.0 - frac) * m0 + frac * m1 > 0.999
+    return jnp.where(valid, out, fill)

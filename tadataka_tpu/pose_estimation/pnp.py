@@ -24,12 +24,21 @@ EPNP_SAMPLES = 5
 GN_ITERATIONS = 15
 
 
-def calc_reprojection_threshold(keypoints, k=3.0):
-    """k * rms-distance-from-centroid / n (pose.py:67-73)."""
-    center = jnp.mean(keypoints, axis=0, keepdims=True)
-    sq = jnp.sum((keypoints - center) ** 2, axis=1)
-    rms = jnp.sqrt(jnp.mean(sq))
-    return k * rms / keypoints.shape[0]
+def calc_reprojection_threshold(keypoints, k=3.0, mask=None):
+    """k * rms-distance-from-centroid / n (pose.py:67-73).
+
+    ``mask`` restricts the statistic to valid rows (callers pad keypoint
+    batches to static capacities)."""
+    if mask is None:
+        n = jnp.asarray(keypoints.shape[0], keypoints.dtype)
+        w = jnp.ones(keypoints.shape[0], keypoints.dtype)
+    else:
+        w = mask.astype(keypoints.dtype)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+    center = (jnp.sum(keypoints * w[:, None], axis=0, keepdims=True) / n)
+    sq = jnp.sum((keypoints - center) ** 2, axis=1) * w
+    rms = jnp.sqrt(jnp.sum(sq) / n)
+    return k * rms / n
 
 
 def _dlt_pose(points, keypoints):
@@ -111,7 +120,8 @@ def solve_pnp_ransac(points, keypoints, mask, key,
     from tadataka_tpu.pose_estimation.p3p import p3p_best_pose
 
     if reprojection_threshold is None:
-        reprojection_threshold = calc_reprojection_threshold(keypoints)
+        reprojection_threshold = calc_reprojection_threshold(keypoints,
+                                                             mask=mask)
 
     if method == "epnp":
         fit, n_samples = epnp_pose, EPNP_SAMPLES

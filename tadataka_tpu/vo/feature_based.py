@@ -34,14 +34,21 @@ from tadataka_tpu.pose_estimation import estimate_pose_change
 from tadataka_tpu.pose_estimation.pnp import solve_pnp
 from tadataka_tpu.utils.exceptions import (
     NotEnoughInliersException, print_error)
+from tadataka_tpu.utils.padding import pow2_cap, pad_rows, row_mask
 
 
 def _triangulate(pose0, pose1, keypoints0, keypoints1):
+    """Two-view triangulation padded to a power-of-two batch so the
+    jitted SVD program compiles per capacity bucket, not per count."""
+    n = len(keypoints0)
+    cap = pow2_cap(n)
+    kp0 = pad_rows(np.asarray(keypoints0, np.float32), cap, 0.0)
+    kp1 = pad_rows(np.asarray(keypoints1, np.float32), cap, 1e-3)
     points, depths = two_view_triangulation(pose0, pose1,
-                                            jnp.asarray(keypoints0),
-                                            jnp.asarray(keypoints1))
-    mask = np.asarray(compute_depth_mask(depths))
-    return np.asarray(points), mask
+                                            jnp.asarray(kp0),
+                                            jnp.asarray(kp1))
+    mask = np.asarray(compute_depth_mask(depths))[:n]
+    return np.asarray(points)[:n], mask
 
 
 class FeatureBasedVO:
@@ -71,7 +78,6 @@ class FeatureBasedVO:
         self.poses = {}           # viewpoint -> Pose (world->camera, local)
         self.features = {}        # viewpoint -> Features (normalized kps)
         self.raw_keypoints = {}   # viewpoint -> (K, 2) pixel keypoints
-        self.images = {}
         # correspondence: viewpoint -> {keypoint_index: point_id}
         self.correspondences = {}
         self.point_dict = {}      # point_id -> (3,) np.ndarray
@@ -184,7 +190,6 @@ class FeatureBasedVO:
 
         self.features[viewpoint1] = features1
         self.raw_keypoints[viewpoint1] = keypoints_px
-        self.images[viewpoint1] = image
         self.active_viewpoints.append(viewpoint1)
 
         if len(self.active_viewpoints) >= 3:
@@ -245,17 +250,25 @@ class FeatureBasedVO:
         n = len(points)
         if n < 12:
             return pose1, points
-        vi = np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)])
-        pi_ = np.concatenate([np.arange(n), np.arange(n)]).astype(np.int32)
-        x_true = np.concatenate([kp0, kp1]).astype(np.float32)
+        cap = pow2_cap(n)
+        vi = pad_rows(np.concatenate([np.zeros(n, np.int32),
+                                      np.ones(n, np.int32)]), 2 * cap, 0)
+        pi_ = pad_rows(np.concatenate([np.arange(n), np.arange(n)])
+                       .astype(np.int32), 2 * cap, 0)
+        x_true = pad_rows(np.concatenate([kp0, kp1]).astype(np.float32),
+                          2 * cap, 0.0)
+        weights = pad_rows(np.ones(2 * n, np.float32), 2 * cap, 0.0)
+        pts = pad_rows(np.asarray(points, np.float32), cap, 1.0)
         pose_params = jnp.stack([
             jnp.zeros(6),
             jnp.concatenate([log_so3(jnp.asarray(pose1.R)),
                              jnp.asarray(pose1.t)])]).astype(jnp.float32)
         new_params, new_points, _ = lm_solve(
-            pose_params, jnp.asarray(points, jnp.float32),
+            pose_params, jnp.asarray(pts),
             jnp.asarray(vi), jnp.asarray(pi_), jnp.asarray(x_true),
+            weights=jnp.asarray(weights),
             max_iter=10, relative_error_threshold=1e-4)
+        new_points = new_points[:n]
         # re-gauge: world = camera-0 frame, unit baseline
         R0 = np.asarray(exp_so3(new_params[0, :3]))
         t0 = np.asarray(new_params[0, 3:])
@@ -322,10 +335,14 @@ class FeatureBasedVO:
 
         obj = pts_p[idx[:, 0]]
         img = np.asarray(features1.keypoints)[idx[:, 1]]
+        n = len(obj)
+        pcap = pow2_cap(n)
         try:
-            refined = solve_pnp(obj.astype(np.float32),
-                                img.astype(np.float32),
-                                reprojection_threshold=self.pnp_threshold)
+            refined = solve_pnp(
+                pad_rows(obj.astype(np.float32), pcap, 1.0),
+                pad_rows(img.astype(np.float32), pcap, 0.0),
+                mask=jnp.asarray(row_mask(n, pcap)),
+                reprojection_threshold=self.pnp_threshold)
         except NotEnoughInliersException:
             return pose1, {}
         assoc = {int(i1): pids[int(i0)] for i0, i1 in idx}
@@ -347,9 +364,13 @@ class FeatureBasedVO:
         if len(object_points) < 6:
             raise NotEnoughInliersException("No sufficient correspondences")
         # ~2.5 px at typical focal lengths; the adaptive reference formula
-        # collapses when hundreds of correspondences are available
-        return_pose = solve_pnp(np.asarray(object_points, np.float32),
-                                np.asarray(image_points, np.float32),
+        # collapses when hundreds of correspondences are available.
+        # Padded to capacity so the RANSAC+GN program compiles per bucket.
+        n = len(object_points)
+        cap = pow2_cap(n)
+        obj = pad_rows(np.asarray(object_points, np.float32), cap, 1.0)
+        img = pad_rows(np.asarray(image_points, np.float32), cap, 0.0)
+        return_pose = solve_pnp(obj, img, mask=jnp.asarray(row_mask(n, cap)),
                                 reprojection_threshold=self.pnp_threshold)
         return Pose(np.asarray(return_pose.R), np.asarray(return_pose.t))
 
@@ -426,7 +447,14 @@ class FeatureBasedVO:
             self.poses[v] = Pose(np.asarray(pose.R), np.asarray(pose.t))
 
     def try_remove(self):
+        """Evict the oldest keyframe AND free its per-viewpoint state
+        (the reference evicts only the viewpoint id,
+        feature_based.py:316-321, which leaks on long sequences).
+        Poses and the global point map persist for export."""
         if self.n_active_keyframes <= self.window_size:
             return False
-        self.active_viewpoints.pop(0)
+        v = self.active_viewpoints.pop(0)
+        self.features.pop(v, None)
+        self.raw_keypoints.pop(v, None)
+        self.correspondences.pop(v, None)
         return True

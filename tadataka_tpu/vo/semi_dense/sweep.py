@@ -46,6 +46,8 @@ from tadataka_tpu.core.gradients import sobel_x, sobel_y
 from tadataka_tpu.core.transforms import (
     get_rotation, get_translation, inv_motion_matrix)
 from tadataka_tpu.core.warp2pass import homography_warp, displacement_warp
+from tadataka_tpu.core.shiftwarp import (
+    rot_warp, shift_warp_cols, shift_warp_rows)
 from tadataka_tpu.vo.semi_dense.estimator import (
     EPSILON, safe_invert, _pixel_geometry, _warp_point, _calc_alpha,
     _geo_var, _photo_var, calc_key_epipole)
@@ -82,12 +84,40 @@ def plane_homography(T_rk, q, key_focal, key_offset, ref_focal, ref_offset):
 def warp_plane_stack(ref_image, T_rk, qs, key_focal, key_offset,
                      ref_focal, ref_offset):
     """(S, H, W) stack of the ref image warped onto the key grid at each
-    inverse-depth plane; out-of-image / behind-camera lanes hold -1."""
+    inverse-depth plane; out-of-image / behind-camera lanes hold -1.
+
+    Gather-based (take_along_axis) variant — kept as the CPU/testing
+    reference; the TPU path is `warp_plane_stack_tent` (XLA:TPU runs
+    scattered gathers at ~14 ns/element, making this ~800 ms at 480x640,
+    while the tent shift-sum variant is gather-free)."""
 
     def one(_, q):
         H33 = plane_homography(T_rk, q, key_focal, key_offset,
                                ref_focal, ref_offset)
         warped, _ = homography_warp(ref_image, H33, fill=-1.0)
+        return None, warped
+
+    _, stack = jax.lax.scan(one, None, qs)
+    return stack
+
+
+def warp_plane_stack_tent(ref_image, T_rk, qs, key_focal, key_offset,
+                          ref_focal, ref_offset, budget: int):
+    """Gather-free plane stack via per-plane tent shift-sum warps.
+
+    V_j(x) = ref(H_{q_j} x), each plane one bounded-displacement warp
+    (core/shiftwarp.py::rot_warp) — a SINGLE bilinear resample per
+    plane, so sample values match the gather-based stack exactly within
+    the static displacement ``budget`` (rotation + parallax); lanes
+    exceeding it come out invalid (-1).  Feasible exactly when the
+    inter-frame motion is small (consecutive VO frames, any direction —
+    including forward, where scanline rectification is impossible).
+    """
+
+    def one(_, q):
+        H_q = plane_homography(T_rk, q, key_focal, key_offset,
+                               ref_focal, ref_offset)
+        warped, _ = rot_warp(ref_image, H_q, budget, budget, fill=-1.0)
         return None, warped
 
     _, stack = jax.lax.scan(one, None, qs)
@@ -231,10 +261,18 @@ def ssd_search(V, K, mlo, mhi, use_pallas=None):
 # ------------------------------------------------------------- key patch
 
 def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
-                     dir_y_map):
+                     dir_y_map, budget: int = 0):
     """(5, H, W) key-patch samples at offsets -2..2 along the per-pixel
-    epipolar direction (epipolar.rs:22), via two-pass displacement warps."""
+    epipolar direction (epipolar.rs:22), via two-pass displacement warps.
+
+    ``budget`` > 0 switches to the gather-free tent shift-sum passes
+    (core/shiftwarp.py) with that static displacement budget — the TPU
+    path; 0 keeps the take_along_axis form (CPU/testing)."""
+    H, W = key_image.shape
+    f32 = key_image.dtype
     half = N_KEY_SAMPLES // 2
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=f32), (H, W))
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=f32)[:, None], (H, W))
     planes = []
     for k in range(-half, half + 1):
         if k == 0:
@@ -242,22 +280,91 @@ def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
             continue
         dx = k * step_size_map * dir_x_map * key_focal[0]
         dy = k * step_size_map * dir_y_map * key_focal[1]
-        warped, _ = displacement_warp(key_image, dx, dy)
+        if budget > 0:
+            tmp, _ = shift_warp_cols(key_image, xs + dx, budget)
+            warped, _ = shift_warp_rows(tmp, ys + dy, budget)
+        else:
+            warped, _ = displacement_warp(key_image, dx, dy)
         planes.append(warped)
     return jnp.stack(planes)
 
 
+# ----------------------------------------------------- shared postprocess
+
+def postprocess_pixel(u, q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
+                      p_var, T16, a, *, params):
+    """Stage C shared by the plane-sweep estimators: per-pixel depth /
+    variance / flag from the matched inverse depth ``q_m``
+    (semi_dense.rs:105-158).  ``g`` is the pixel's PixelGeoScalars, ``ks``
+    the key-side sample spacing in normalized units, ``a`` the pixel age.
+    Vmappable; returns (depth, variance, flag)."""
+    T_rk = T16.reshape(4, 4)
+    x_key = jnp.stack([g.x_key_x, g.x_key_y])
+
+    flag_insufficient = kgrad < params.min_gradient
+    key_depth = safe_invert(q_m)
+    new_inv_depth = q_m
+
+    alpha = _calc_alpha(T_rk, x_key, (g.min_depth, g.max_depth),
+                        key_depth)
+    t_rk = get_translation(T_rk)
+    geo_v = _geo_var(x_key, t_rk, jnp.stack([gx_v, gy_v]))
+    photo = _photo_var(kgrad / (ks + EPSILON))
+    a2 = alpha * alpha
+    variance = a2 * (params.geo_coeff ** 2 * geo_v
+                     + params.photo_coeff ** 2 * photo)
+
+    result_flag = check_args_flag(new_inv_depth, variance,
+                                  params.min_inv_depth,
+                                  params.max_inv_depth)
+    flag = result_flag
+    flag = jnp.where(nomatch,
+                     jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
+    flag = jnp.where(g.flag_far_oob,
+                     jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
+    flag = jnp.where(g.flag_close_oob,
+                     jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
+    flag = jnp.where(g.flag_too_short,
+                     jnp.int32(Flag.REF_EPIPOLAR_TOO_SHORT), flag)
+    flag = jnp.where(flag_insufficient,
+                     jnp.int32(Flag.INSUFFICIENT_GRADIENT), flag)
+    flag = jnp.where(g.flag_key_oob,
+                     jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
+    flag = jnp.where(g.flag_neg_ref,
+                     jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
+
+    prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
+                                 params.max_inv_depth)
+    prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
+    not_processed = a == 0
+    flag = jnp.where(prior_bad, prior_flag, flag)
+    flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
+
+    success = flag == jnp.int32(Flag.SUCCESS)
+    out_inv = jnp.where(success, new_inv_depth, p_inv)
+    out_var = jnp.where(success, variance, p_var)
+    return safe_invert(out_inv), out_var, flag
+
+
 # ------------------------------------------------------------- full update
 
-@partial(jax.jit, static_argnames=("n_planes", "use_pallas"))
+@partial(jax.jit, static_argnames=("n_planes", "use_pallas", "warp_budget",
+                                   "key_budget"))
 def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
                        prior_variance, params: SemiDenseParams,
-                       n_planes: int = DEFAULT_N_PLANES, use_pallas=None):
+                       n_planes: int = DEFAULT_N_PLANES, use_pallas=None,
+                       warp_budget: int = 0, key_budget: int = 0):
     """Full-map inverse-depth update via plane sweep.
 
     Same contract as estimator.update_depth (semi_dense.rs:160-237):
     keyframe + stacked refframe history, per-pixel age-indexed refframe,
     returns (depth_map, variance_map, flag_map).
+
+    ``warp_budget`` / ``key_budget`` > 0 switch the plane and key-patch
+    warps to the gather-free tent shift-sum path
+    (warp_plane_stack_tent) with those static displacement budgets — the
+    TPU configuration, planned host-side by fast.plan_update; 0 keeps the
+    gather-based warps (CPU/testing).
     """
     H, W = prior_depth.shape
     R_frames = refframes.image.shape[0]
@@ -342,9 +449,21 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     dirx_map = -geo.key_dir_x.reshape(H, W)
     diry_map = -geo.key_dir_y.reshape(H, W)
     K_stack = _key_patch_stack(keyframe.image, keyframe.focal_length,
-                               step_map, dirx_map, diry_map)   # (5, H, W)
+                               step_map, dirx_map, diry_map,
+                               budget=key_budget)              # (5, H, W)
     key_grad_map = jnp.sqrt(
         jnp.sum(jnp.diff(K_stack, axis=0) ** 2, axis=0))       # (H, W)
+
+    # Gradient gate at REFERENCE support: the sweep may sample finer than
+    # the reference's floored step (semi_dense.rs:27 + the ref_step_size
+    # floor), which would shrink the template diffs and over-trigger
+    # INSUFFICIENT_GRADIENT.  Scale the measured gradient to the
+    # reference-equivalent template spacing (geo.key_step_size); the
+    # photometric variance uses the (spacing-invariant) gradient DENSITY
+    # either way, so passing the scaled pair keeps it unchanged.
+    gate_scale = geo.key_step_size / (key_step_sweep + EPSILON)
+    kgrad_post = key_grad_map.ravel() * gate_scale
+    ks_post = geo.key_step_size
 
     # per-refframe sweep + SSD search; select per pixel by its age index
     bm = jnp.full((H, W), -1, jnp.int32)
@@ -353,9 +472,17 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     en = jnp.full((H, W), _INF)
     ridx_map = ridx.reshape(H, W)
     for r in range(R_frames):
-        V = warp_plane_stack(refframes.image[r], T_rk_all[r], qs,
-                             keyframe.focal_length, keyframe.offset,
-                             refframes.focal_length[r], refframes.offset[r])
+        if warp_budget > 0:
+            V = warp_plane_stack_tent(
+                refframes.image[r], T_rk_all[r], qs,
+                keyframe.focal_length, keyframe.offset,
+                refframes.focal_length[r], refframes.offset[r],
+                warp_budget)
+        else:
+            V = warp_plane_stack(refframes.image[r], T_rk_all[r], qs,
+                                 keyframe.focal_length, keyframe.offset,
+                                 refframes.focal_length[r],
+                                 refframes.offset[r])
         bm_r, ec_r, ep_r, en_r = ssd_search(V, K_stack, mlo, mhi,
                                             use_pallas=use_pallas)
         sel = ridx_map == r
@@ -377,58 +504,10 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     no_match = (bm < 0).ravel()
 
     # stage C: depth / variance / flags per pixel (semi_dense.rs:105-158)
-    def post(u, q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv, p_var, T16,
-             a):
-        T_rk = T16.reshape(4, 4)
-        x_key = jnp.stack([g.x_key_x, g.x_key_y])
-
-        flag_insufficient = kgrad < params.min_gradient
-        key_depth = safe_invert(q_m)
-        new_inv_depth = q_m
-
-        alpha = _calc_alpha(T_rk, x_key, (g.min_depth, g.max_depth),
-                            key_depth)
-        t_rk = get_translation(T_rk)
-        geo_v = _geo_var(x_key, t_rk, jnp.stack([gx_v, gy_v]))
-        photo = _photo_var(kgrad / (ks + EPSILON))
-        a2 = alpha * alpha
-        variance = a2 * (params.geo_coeff ** 2 * geo_v
-                         + params.photo_coeff ** 2 * photo)
-
-        result_flag = check_args_flag(new_inv_depth, variance,
-                                      params.min_inv_depth,
-                                      params.max_inv_depth)
-        flag = result_flag
-        flag = jnp.where(nomatch,
-                         jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
-        flag = jnp.where(g.flag_far_oob,
-                         jnp.int32(Flag.REF_FAR_OUT_OF_RANGE), flag)
-        flag = jnp.where(g.flag_close_oob,
-                         jnp.int32(Flag.REF_CLOSE_OUT_OF_RANGE), flag)
-        flag = jnp.where(g.flag_too_short,
-                         jnp.int32(Flag.REF_EPIPOLAR_TOO_SHORT), flag)
-        flag = jnp.where(flag_insufficient,
-                         jnp.int32(Flag.INSUFFICIENT_GRADIENT), flag)
-        flag = jnp.where(g.flag_key_oob,
-                         jnp.int32(Flag.KEY_OUT_OF_RANGE), flag)
-        flag = jnp.where(g.flag_neg_ref,
-                         jnp.int32(Flag.NEGATIVE_REF_DEPTH), flag)
-
-        prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
-                                     params.max_inv_depth)
-        prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
-        not_processed = a == 0
-        flag = jnp.where(prior_bad, prior_flag, flag)
-        flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
-
-        success = flag == jnp.int32(Flag.SUCCESS)
-        out_inv = jnp.where(success, new_inv_depth, p_inv)
-        out_var = jnp.where(success, variance, p_var)
-        return safe_invert(out_inv), out_var, flag
-
     depth, variance, flags = jax.vmap(
-        post, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0), out_axes=0)(
-        us, q_star, no_match, key_grad_map.ravel(), key_step_sweep,
+        lambda *a: postprocess_pixel(*a, params=params),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0), out_axes=0)(
+        us, q_star, no_match, kgrad_post, ks_post,
         gx.ravel(), gy.ravel(), geo, prior_inv, prior_v, T_cols, age)
     return (depth.reshape(H, W), variance.reshape(H, W),
             flags.reshape(H, W))
