@@ -84,6 +84,33 @@ def shift_warp_rows(img, y_map, max_shift):
     return _tent_pass(img, y_map, ys, max_shift, axis=0)
 
 
+def tent_sample(img, x_map, y_map, max_dx, max_dy):
+    """Bilinear sample at arbitrary smooth coordinate maps, gather-free:
+
+        out[..., y, x] ~ img[..., y_map[y, x], x_map[y, x]]
+
+    Two tent shift-sum passes (cols then rows).  Exact wherever the
+    displacement fits the static budgets AND the column map varies slowly
+    along rows (the pass-B row mix reads pass-A values computed at nearby
+    rows; deviation is O(|y_map - y| * d(x_map)/dy) — negligible for the
+    smooth depth-induced flow fields of inter-frame VO).  ``img`` may be
+    (H, W) or (C, H, W).
+
+    Returns (out, valid); ``valid`` requires both budgets, with the pass-A
+    budget mask warped THROUGH pass B (as an extra channel) so it holds at
+    the source rows pass B actually reads, not merely at the output grid.
+    """
+    single = img.ndim == 2
+    stack = img[None] if single else img
+    tmp, ok_a = shift_warp_cols(stack, x_map, max_dx)
+    carried = jnp.concatenate([tmp, ok_a.astype(img.dtype)[None]], axis=0)
+    out_all, ok_b = shift_warp_rows(carried, y_map, max_dy)
+    out = out_all[:-1]
+    ok_a_warped = out_all[-1] > 0.999
+    valid = ok_b & ok_a_warped
+    return (out[0] if single else out), valid
+
+
 def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6):
     """Homography warp by two tent shift-sum passes (Catmull-Smith order).
 

@@ -25,6 +25,7 @@ from tadataka_tpu.core.image_range import is_in_image_range
 from tadataka_tpu.core.interpolation import interpolate
 from tadataka_tpu.core.pose import Pose
 from tadataka_tpu.core.projection import pi, inv_pi
+from tadataka_tpu.core.shiftwarp import tent_sample
 from tadataka_tpu.robust.weights import (
     compute_weights_huber, compute_weights_student_t, compute_weights_tukey)
 
@@ -65,14 +66,18 @@ def _resolve_weights(weight_kind, residuals, weight_map, mask):
 
 
 def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
-                    R10, t10, max_iter, weight_kind):
+                    R10, t10, max_iter, weight_kind, sample_budget=0):
     """Gauss-Newton at one pyramid level; returns updated (R10, t10).
 
-    Traced inside estimate_pose_pyramid — not jitted on its own."""
+    Traced inside estimate_pose_pyramid — not jitted on its own.
+    ``sample_budget`` as in _estimate_level_ic (here three channels —
+    I1, GX1, GY1 — ride the same two tent passes)."""
+    H, W = I0.shape
     us0 = image_coordinates(D0.shape, dtype=I0.dtype)
     xs0 = camera_model0.normalize(us0)
     P0 = inv_pi(xs0, D0.ravel())
     GX1, GY1 = np_gradient_2d(I1)
+    IG1 = jnp.stack([I1, GX1, GY1])
     i0 = I0.ravel()
     wmap = weight_map.ravel()
     focal_length = camera_model1.camera_parameters.focal_length
@@ -86,7 +91,6 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         P1 = P0 @ R.T + t
         us1 = camera_model1.unnormalize(pi(P1))
         mask = is_in_image_range(us1, GX1.shape) & (P1[:, 2] > 0)
-        any_valid = jnp.any(mask)
 
         # forward-compositional residual: r = I0(u0) - I1(warp(u0)).
         # (The reference freezes r = I0 - I1 at the original grid,
@@ -94,7 +98,20 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         # true photometric minimum.)  The same residuals give the current
         # photometric error, so the error-increase stop costs no extra warp
         # (the reference re-warps the full image per iteration for it).
-        i1 = interpolate(I1, us1)
+        if sample_budget > 0:
+            x_map = us1[:, 0].reshape(H, W)
+            y_map = us1[:, 1].reshape(H, W)
+            ig1, ok = tent_sample(IG1, x_map, y_map,
+                                  sample_budget, sample_budget)
+            i1 = ig1[0].ravel()
+            gx1 = ig1[1].ravel()
+            gy1 = ig1[2].ravel()
+            mask = mask & ok.ravel()
+        else:
+            i1 = interpolate(I1, us1)
+            gx1 = interpolate(GX1, us1)
+            gy1 = interpolate(GY1, us1)
+        any_valid = jnp.any(mask)
         residuals = jnp.where(mask, i0 - i1, 0.0)
         n_valid = jnp.maximum(jnp.sum(mask), 1)
         curr_error = jnp.sum(residuals * residuals) / n_valid
@@ -104,9 +121,6 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         t_best_new = jnp.where(improved, t, t_best)
         done = jnp.logical_or(jnp.logical_not(any_valid),
                               jnp.logical_not(improved))
-
-        gx1 = interpolate(GX1, us1)
-        gy1 = interpolate(GY1, us1)
         # guard z against masked lanes to keep J finite
         P1_safe = P1.at[:, 2].set(jnp.where(mask, P1[:, 2], 1.0))
         J = calc_jacobian(focal_length, gx1, gy1, P1_safe)
@@ -131,7 +145,7 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
 
 
 def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
-                       R10, t10, max_iter, weight_kind):
+                       R10, t10, max_iter, weight_kind, sample_budget=0):
     """Inverse-compositional Gauss-Newton at one pyramid level.
 
     Baker-Matthews IC: the 2x6 Jacobian lives on the TEMPLATE (frame 0)
@@ -141,7 +155,15 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
     (XLA's random-access gather runs far below HBM bandwidth).
     The pose increment composes on the template side:
     pose10 <- pose10 * exp(xi)^-1.
+
+    ``sample_budget`` > 0 replaces the per-iteration scattered bilinear
+    gather of I1 (~17 ms at 480x640 on a v5e — benchmarks/profile_dvo.py)
+    with the gather-free tent shift-sum resample (core/shiftwarp.py)
+    bounded by that static pixel budget; lanes whose inter-frame flow
+    exceeds it are masked out of the normal equations (the coarse-to-fine
+    pyramid keeps residual flow small at every level for VO motion).
     """
+    H, W = I0.shape
     us0 = image_coordinates(D0.shape, dtype=I0.dtype)
     xs0 = camera_model0.normalize(us0)
     P0 = inv_pi(xs0, D0.ravel())
@@ -166,9 +188,18 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
         P1 = P0 @ R.T + t
         us1 = camera_model1.unnormalize(pi(P1))
         mask = is_in_image_range(us1, I1.shape) & (P1[:, 2] > 0)
+
+        if sample_budget > 0:
+            x_map = us1[:, 0].reshape(H, W)
+            y_map = us1[:, 1].reshape(H, W)
+            i1_map, ok = tent_sample(I1, x_map, y_map,
+                                     sample_budget, sample_budget)
+            i1 = i1_map.ravel()
+            mask = mask & ok.ravel()
+        else:
+            i1 = interpolate(I1, us1)
         any_valid = jnp.any(mask)
 
-        i1 = interpolate(I1, us1)
         residuals = jnp.where(mask, i1 - i0, 0.0)   # IC sign convention
         n_valid = jnp.maximum(jnp.sum(mask), 1)
         curr_error = jnp.sum(residuals * residuals) / n_valid
@@ -209,16 +240,22 @@ def level_to_scale(level, layer_size_ratio):
 
 @partial(jax.jit, static_argnames=("n_levels", "max_iter",
                                    "layer_size_ratio", "weight_kind",
-                                   "method"))
+                                   "method", "sample_budget"))
 def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
                           weight_map, R10, t10, n_levels, max_iter,
-                          layer_size_ratio, weight_kind, method="ic"):
+                          layer_size_ratio, weight_kind, method="ic",
+                          sample_budget=0):
     """The full coarse-to-fine estimation as ONE jitted program.
 
     All pyramid levels (static shapes), their resizes, and the per-level
     Gauss-Newton while_loops compile into a single XLA computation — one
     host dispatch per frame instead of dozens (which matters doubly on a
-    remote-dispatch TPU path)."""
+    remote-dispatch TPU path).
+
+    ``sample_budget`` > 0 switches every level's per-iteration image
+    resample to the gather-free tent shift-sum path with that static pixel
+    budget (the TPU configuration — scattered gathers run at ~14 ns per
+    element on a v5e; benchmarks/profile_dvo.py)."""
     H, W = I0.shape
     R, t = R10, t10
     level_fn = _estimate_level_ic if method == "ic" else _estimate_level
@@ -233,7 +270,8 @@ def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
         I1s = _resize_image(I1, shape)
         Ws = _resize_image(weight_map, shape)
         R, t = level_fn(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
-                        max_iter, weight_kind)
+                        max_iter, weight_kind,
+                        sample_budget=sample_budget)
     return R, t
 
 
@@ -247,16 +285,25 @@ class PoseChangeEstimator:
 
     def __init__(self, camera_model0, camera_model1,
                  n_coarse_to_fine=5, max_iter=20, layer_size_ratio=1.5,
-                 method="ic"):
+                 method="ic", sample_budget=None):
         """method: "ic" (inverse compositional, 3x fewer image samples per
         iteration) or "fc" (forward compositional, the reference's
-        formulation with per-iteration re-linearization)."""
+        formulation with per-iteration re-linearization).
+
+        sample_budget: static pixel budget for the gather-free tent
+        resample of I1 (core/shiftwarp.py); lanes whose inter-frame flow
+        exceeds it are dropped from the normal equations.  ``None`` picks
+        16 px on TPU (where scattered gathers are the dominant cost —
+        benchmarks/profile_dvo.py) and the exact gather path elsewhere."""
         self.camera_model0 = camera_model0
         self.camera_model1 = camera_model1
         self.n_coarse_to_fine = n_coarse_to_fine
         self.max_iter = max_iter
         self.layer_size_ratio = layer_size_ratio
         self.method = method
+        if sample_budget is None:
+            sample_budget = 16 if jax.default_backend() == "tpu" else 0
+        self.sample_budget = sample_budget
 
     def __call__(self, I0, D0, I1, weights=None, pose10=None):
         assert I0.shape == D0.shape == I1.shape
@@ -281,5 +328,5 @@ class PoseChangeEstimator:
             weight_map.astype(jnp.float32),
             pose10.R, pose10.t,
             self.n_coarse_to_fine, self.max_iter, self.layer_size_ratio,
-            weight_kind, self.method)
+            weight_kind, self.method, self.sample_budget)
         return Pose(R, t)

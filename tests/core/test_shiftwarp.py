@@ -114,3 +114,51 @@ def test_const_shift_cols_negative():
     np.testing.assert_allclose(np.asarray(out)[:, 3:], np.asarray(img)[:, :61],
                                atol=1e-6)
     assert np.all(np.asarray(out)[:, :3] == -1.0)
+
+
+def test_tent_sample_matches_bilinear_constant_x_rows():
+    """Constant-in-y column map: the two-pass composition is exact."""
+    from tadataka_tpu.core.shiftwarp import tent_sample
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.random((48, 96)), jnp.float32)
+    xs = np.arange(96)[None, :] + rng.uniform(-5, 5, (1, 96))
+    x_map = jnp.asarray(np.broadcast_to(xs, (48, 96)), jnp.float32)
+    y_map = jnp.asarray(np.arange(48)[:, None]
+                        + rng.uniform(-5, 5, (48, 96)), jnp.float32)
+    out, ok = tent_sample(img, x_map, y_map, 8, 8)
+    coords = jnp.stack([jnp.clip(x_map, 0, 95), jnp.clip(y_map, 0, 47)],
+                       axis=-1)
+    expect = interpolate(img, coords)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-5)
+
+
+def test_tent_sample_smooth_field_close_to_bilinear():
+    """Smooth 2-D flow field: two-pass deviation stays tiny."""
+    from tadataka_tpu.core.shiftwarp import tent_sample
+    img = _smooth_image(64, 128, seed=10)
+    ys, xs = np.meshgrid(np.arange(64.0), np.arange(128.0), indexing="ij")
+    x_map = jnp.asarray(xs + 3.0 * np.sin(ys / 19.0), jnp.float32)
+    y_map = jnp.asarray(ys + 2.0 * np.cos(xs / 23.0), jnp.float32)
+    out, ok = tent_sample(img, x_map, y_map, 6, 6)
+    coords = jnp.stack([jnp.clip(x_map, 0, 127), jnp.clip(y_map, 0, 63)],
+                       axis=-1)
+    expect = interpolate(img, coords)
+    err = np.abs(np.asarray(out) - np.asarray(expect))[np.asarray(ok)]
+    # deviation is O(|y_map - y| * d(x_map)/dy * image gradient): subpixel
+    # sample-position error, tiny on average, bounded at block edges
+    assert err.mean() < 1e-2
+    assert err.max() < 0.2
+
+
+def test_tent_sample_budget_and_channels():
+    from tadataka_tpu.core.shiftwarp import tent_sample
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.random((3, 32, 64)), jnp.float32)
+    ys, xs = np.meshgrid(np.arange(32.0), np.arange(64.0), indexing="ij")
+    x_map = jnp.asarray(xs + 20.0, jnp.float32)     # over the 8-px budget
+    y_map = jnp.asarray(ys, jnp.float32)
+    out, ok = tent_sample(img, x_map, y_map, 8, 8)
+    assert out.shape == (3, 32, 64)
+    assert not bool(np.asarray(ok)[:, :40].any())

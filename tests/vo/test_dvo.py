@@ -67,3 +67,29 @@ def test_dvo_translation_accuracy(scene):
     r_err = float(jnp.linalg.norm(pose10.rotvec - pose10_gt.rotvec))
     assert t_err < 0.1, (np.asarray(pose10.t), np.asarray(pose10_gt.t))
     assert r_err < 0.05
+
+
+@pytest.mark.parametrize("method", ["ic", "fc"])
+def test_dvo_tent_sampler_matches_gather(scene, method):
+    """The gather-free tent resample path (sample_budget > 0, the TPU
+    configuration) meets the same acceptance bounds as the exact gather
+    path and lands on nearly the same pose."""
+    dataset, frame0, frame1, pose10_gt = scene
+    kw = dict(n_coarse_to_fine=4, max_iter=20, method=method)
+    est_gather = PoseChangeEstimator(frame0.camera_model,
+                                     frame1.camera_model,
+                                     sample_budget=0, **kw)
+    est_tent = PoseChangeEstimator(frame0.camera_model, frame1.camera_model,
+                                   sample_budget=12, **kw)
+    p_gather = est_gather(frame0.image, frame0.depth_map, frame1.image)
+    p_tent = est_tent(frame0.image, frame0.depth_map, frame1.image)
+
+    error = PhotometricError(frame0.camera_model, frame1.camera_model,
+                             frame0.image, frame0.depth_map, frame1.image)
+    e_identity = float(error(Pose.identity()))
+    e_gt = float(error(pose10_gt))
+    e_tent = float(error(p_tent))
+    assert e_tent < e_identity
+    assert e_tent < max(3.0 * e_gt, 1e-5)
+    t_diff = float(jnp.linalg.norm(p_tent.t - p_gather.t))
+    assert t_diff < 0.05, (np.asarray(p_tent.t), np.asarray(p_gather.t))
