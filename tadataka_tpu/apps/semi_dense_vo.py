@@ -7,8 +7,31 @@ variance propagation, full-map epipolar depth update, refframe history.
 
 Library-class form; the reference's hard process-exit on age/history
 mismatch (semi_dense.rs:203-205) becomes an age clamp.
+
+TPU structure (r4).  On a remote-dispatch TPU path every host<->device
+sync costs a full tunnel round trip (~33 ms measured) and every dispatch
+~5 ms, so the per-frame step is exactly TWO device programs and ZERO
+blocking host reads:
+
+  1. ``_track``: DVO pyramid (gather-free tent resample) + age increment
+     + hypothesis propagation + device-side pose composition
+     T_wc(t) = T_wc(t-1) @ T10^-1, fused into one jitted program;
+  2. ``_update``: refframe stacking + age clamp + the PLANNED depth
+     update (vo/semi_dense/fast.py — tent/rect plane sweeps with
+     per-refframe budgets) + 3x3 regularization, one jitted program per
+     (plan, history-length) bucket.
+
+The planner needs host pose values, so the driver keeps a host-side pose
+chain fed by one-frame-lagged ASYNC fetches of T10 and plans from a
+constant-velocity extrapolation of the keyframe pose — the budget
+buckets absorb the prediction error, and nothing ever blocks on the
+device.  ``SemiDenseVO.estimate`` itself is what the benchmark times
+(VERDICT r3 item 1: the product and the bench must not diverge).  The
+scattered estimator remains as ``depth_update="scatter"`` for exact
+reference-parity runs.
 """
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -17,22 +40,79 @@ import jax.numpy as jnp
 
 from tadataka_tpu.camera import CameraParameters
 from tadataka_tpu.core.pose import Pose
-from tadataka_tpu.core.transforms import inv_motion_matrix
+from tadataka_tpu.core.transforms import inv_motion_matrix, motion_matrix
 from tadataka_tpu.dataset.image_io import rgb2gray
-from tadataka_tpu.vo.dvo import PoseChangeEstimator
+from tadataka_tpu.vo.dvo import estimate_pose_pyramid
 from tadataka_tpu.vo.semi_dense import (
     SemiDenseParams, make_frame, update_depth, propagate, increment_age,
     regularize)
 from tadataka_tpu.vo.semi_dense.estimator import safe_invert
-from tadataka_tpu.vo.semi_dense.frame import stack_frames
+from tadataka_tpu.vo.semi_dense.fast import plan_update_np, update_depth_fast
+from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame, stack_frames
 
 
 class SemiDenseVOState(NamedTuple):
-    pose_wc: Pose          # camera -> world of the latest frame
+    pose_wc: Pose          # camera -> world of the latest frame (on device)
     depth_map: jnp.ndarray
     variance_map: jnp.ndarray
     age_map: jnp.ndarray
     flag_map: Optional[jnp.ndarray]
+
+
+# NOTE on pose fetches: jax.Array.copy_to_host_async() on a NOT-yet-
+# computed array is pathological through the remote-dispatch tunnel
+# (measured: a later np.asarray on it can stall for a minute).  The pose
+# chain therefore drains with a plain np.asarray one frame later, when
+# the buffer is long since computed — the fetch is then a pure tunnel
+# round trip that overlaps with the device working on the current frame.
+
+
+# Module-level jitted per-frame programs: shared across SemiDenseVO
+# instances (a per-instance closure would re-trace the whole pipeline for
+# every new VO object — seconds per frame on short clips).
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _track_fn(cm, cam, I0, D0, V0, age0, I1, R_prev, t_prev, *, cfg):
+    n_levels, budget, dd, dv, bias = cfg
+    weights = safe_invert(V0)
+    R10, t10 = estimate_pose_pyramid(
+        cm, cm, I0, D0, I1, weights,
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, dtype=jnp.float32),
+        n_levels, 20, 1.5, "map", "ic", budget)
+    T10 = motion_matrix(R10, t10)
+    T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
+    age1 = increment_age(age0, cam, cam, T10, D0)
+    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    return T10, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _age_propagate_fn(cam, T10, D0, V0, age0, R_prev, t_prev, *, cfg):
+    dd, dv, bias = cfg
+    T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
+    age1 = increment_age(age0, cam, cam, T10, D0)
+    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    return T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
+
+
+@partial(jax.jit, static_argnames=("plan", "cfg"))
+def _update_fn(cam, params, image, T_wk, ref_frames, age1, d1, v1,
+               *, plan, cfg):
+    do_reg, n_ref_samples = cfg
+    keyframe = make_frame(cam, image, T_wk)
+    refs = stack_frames(ref_frames)
+    age_c = jnp.clip(age1, 0, refs.image.shape[0])
+    if plan is None:
+        d2, v2, flags = update_depth(
+            keyframe, refs, age_c, d1, v1, params,
+            n_ref_samples=n_ref_samples)
+    else:
+        d2, v2, flags = update_depth_fast(
+            keyframe, refs, age_c, d1, v1, params, plan=plan)
+    if do_reg:
+        d2 = regularize(d2, v2, flags)
+    return d2, v2, flags
 
 
 class SemiDenseVO:
@@ -42,11 +122,17 @@ class SemiDenseVO:
                  uncertainty_bias=1.0, depth_range=(60.0, 1000.0),
                  history_size=8, n_ref_samples=64,
                  n_coarse_to_fine=5, regularize_depth=True,
-                 initial_pose_fn=None, seed=0):
+                 initial_pose_fn=None, seed=0,
+                 depth_update="fast", dvo_sample_budget=None):
         """``initial_pose_fn(image0, image1) -> Pose`` optionally supplies
         the scale-ambiguous bootstrap pose for the second frame (the
         reference uses feature matching + essential estimation with a
-        manual scale, examples/semi_dense_vo.py:124-127)."""
+        manual scale, examples/semi_dense_vo.py:124-127).
+
+        ``depth_update``: "fast" routes the full-map update through the
+        host-planned tent/rect plane sweeps (fast.plan_update_np);
+        "scatter" forces the general vmapped estimator on every frame.
+        ``dvo_sample_budget``: see vo/dvo.py (None = 16 px on TPU)."""
         self.camera_params = camera_params
         self.params = params or SemiDenseParams.create(
             depth_range[0], depth_range[1],
@@ -62,15 +148,102 @@ class SemiDenseVO:
         self.regularize_depth = regularize_depth
         self.initial_pose_fn = initial_pose_fn
         self.seed = seed
+        assert depth_update in ("fast", "scatter")
+        self.depth_update = depth_update
+        if dvo_sample_budget is None:
+            dvo_sample_budget = 16 if jax.default_backend() == "tpu" else 0
+        self.dvo_sample_budget = dvo_sample_budget
 
         from tadataka_tpu.camera import CameraModel
-        cm = CameraModel.create(camera_params)
-        self.dvo = PoseChangeEstimator(cm, cm,
-                                       n_coarse_to_fine=n_coarse_to_fine)
+        self._camera_model = CameraModel.create(camera_params)
 
-        self.refframes = []
+        # planner constants, read ONCE (never per frame)
+        self._q0 = float(np.asarray(self.params.min_inv_depth))
+        self._q1 = float(np.asarray(self.params.max_inv_depth))
+        self._focal_np = np.asarray(camera_params.focal_length, np.float64)
+        self._offset_np = np.asarray(camera_params.offset, np.float64)
+
+        self.refframes = []            # device SemiDenseFrames
+        self._ref_Ts_host = []         # host 4x4 poses of the refframes
         self.state: Optional[SemiDenseVOState] = None
         self._prev_image = None
+        self._image_shape = None
+
+        # host-side pose chain: exact but LAGGED.  Through the remote-
+        # dispatch tunnel a device->host fetch serializes behind the
+        # compute queue (~a full sync), so T10s are drained in batches of
+        # ``pose_drain_interval`` frames; in between, keyframe poses are
+        # constant-velocity predictions (bucketed plan budgets absorb the
+        # error, and refframe poses are corrected when the batch lands).
+        self._pose_wc_host = np.eye(4)
+        self._T10_host = np.eye(4)
+        self._pending = []             # [(frame_id, T10 device array)]
+        self._frame_id = 0
+        self._ref_ids = []
+        self.pose_drain_interval = 4
+
+        self._track = self._build_track()
+        self._age_propagate = self._build_age_propagate()
+        self._update = self._build_update()
+
+    # ------------------------------------------------------- device steps
+
+    def _build_track(self):
+        cm = self._camera_model
+        cam = self.camera_params
+        cfg = (self.n_coarse_to_fine, self.dvo_sample_budget,
+               self.default_depth, self.default_variance,
+               self.uncertainty_bias)
+        return lambda *args: _track_fn(cm, cam, *args, cfg=cfg)
+
+    def _build_age_propagate(self):
+        cam = self.camera_params
+        cfg = (self.default_depth, self.default_variance,
+               self.uncertainty_bias)
+        return lambda *args: _age_propagate_fn(cam, *args, cfg=cfg)
+
+    def _build_update(self):
+        params = self.params
+        cam = self.camera_params
+        cfg = (self.regularize_depth, self.n_ref_samples)
+        return lambda image, T_wk, refs, age1, d1, v1, plan: _update_fn(
+            cam, params, image, T_wk, refs, age1, d1, v1,
+            plan=plan, cfg=cfg)
+
+    # --------------------------------------------------- host pose chain
+
+    def _advance_pose_chain(self, force=False):
+        """Fold pending T10 fetches into the host pose chain and correct
+        the refframe poses that were pushed as predictions.  Drains only
+        when the batch is full (or ``force``) — each drain costs one
+        tunnel round trip that overlaps with current device work."""
+        if not self._pending:
+            return
+        if not force and len(self._pending) < self.pose_drain_interval:
+            return
+        for fid, T10_dev in self._pending:
+            self._T10_host = np.asarray(T10_dev, np.float64)
+            self._pose_wc_host = (
+                self._pose_wc_host @ np.linalg.inv(self._T10_host))
+            if fid in self._ref_ids:
+                self._ref_Ts_host[self._ref_ids.index(fid)] = \
+                    self._pose_wc_host
+        self._pending = []
+
+    def _plan(self, key_T_pred):
+        """Plan the depth update from the best available host estimate of
+        the keyframe pose — exact for the bootstrap frame, a
+        constant-velocity prediction otherwise (host numpy only; zero
+        device syncs)."""
+        n = min(len(self._ref_Ts_host), self.history_size)
+        ref_Ts = np.stack(self._ref_Ts_host[-n:])
+        f = np.broadcast_to(self._focal_np, (n, 2))
+        c = np.broadcast_to(self._offset_np, (n, 2))
+        return plan_update_np(key_T_pred, self._focal_np, self._offset_np,
+                              self._image_shape, ref_Ts, f, c,
+                              self._q0, self._q1)
+
+    # ------------------------------------------------------------- driver
 
     def estimate(self, frame):
         """Process a frame (Frame or raw image).  Returns the state."""
@@ -80,48 +253,53 @@ class SemiDenseVO:
         if self.state is None:
             return self._initialize(image)
 
-        H, W = image.shape
         prev = self.state
+        self._advance_pose_chain()
 
-        # 1. pose tracking against the previous frame's depth map
-        weights = safe_invert(prev.variance_map)
+        # 1-2. pose tracking + age/hypothesis propagation (one program)
         if len(self.refframes) == 1 and self.initial_pose_fn is not None:
             pose10 = self.initial_pose_fn(self._prev_image, image)
+            T10_host = np.asarray(pose10.T, np.float64)
+            T10 = jnp.asarray(T10_host, jnp.float32)
+            T_wk, R_wk, t_wk, age1, depth1, variance1 = self._age_propagate(
+                T10, prev.depth_map, prev.variance_map, prev.age_map,
+                prev.pose_wc.R, prev.pose_wc.t)
+            self._T10_host = T10_host
+            self._pose_wc_host = (
+                self._pose_wc_host @ np.linalg.inv(T10_host))
+            push_T_host = self._pose_wc_host           # exact
         else:
-            pose10 = self.dvo(self._prev_image, prev.depth_map, image,
-                              weights=np.asarray(weights))
-        T10 = pose10.T
-        pose_wc = Pose.from_matrix(
-            np.asarray(prev.pose_wc.T) @ np.asarray(inv_motion_matrix(T10)))
+            T10, T_wk, R_wk, t_wk, age1, depth1, variance1 = self._track(
+                self._prev_image, prev.depth_map, prev.variance_map,
+                prev.age_map, image, prev.pose_wc.R, prev.pose_wc.t)
+            self._pending.append((self._frame_id, T10))
+            # constant-velocity prediction over the undrained frames;
+            # corrected by _advance_pose_chain when the batch lands
+            inv_T = np.linalg.inv(self._T10_host)
+            push_T_host = self._pose_wc_host.copy()
+            for _ in range(len(self._pending)):
+                push_T_host = push_T_host @ inv_T
 
-        # 2. propagate age and hypotheses into the new frame
-        age1 = increment_age(prev.age_map, self.camera_params,
-                             self.camera_params, T10, prev.depth_map)
-        depth1, variance1 = propagate(
-            T10, self.camera_params, self.camera_params,
-            prev.depth_map, prev.variance_map,
-            self.default_depth, self.default_variance,
-            self.uncertainty_bias)
+        # 3. planned epipolar depth update against the refframe history
+        plan = (self._plan(push_T_host)
+                if self.depth_update == "fast" else None)
+        refs = tuple(self.refframes[-self.history_size:])
+        depth1, variance1, flags = self._update(
+            image, T_wk, refs, age1, depth1, variance1, plan)
 
-        # 3. epipolar depth update against the age-selected refframes
-        keyframe = make_frame(self.camera_params, image, pose_wc.T)
-        refs = stack_frames(self.refframes[-self.history_size:])
-        age_clamped = jnp.clip(age1, 0, refs.image.shape[0])
-        depth1, variance1, flags = update_depth(
-            keyframe, refs, age_clamped, depth1, variance1, self.params,
-            n_ref_samples=self.n_ref_samples)
-
-        if self.regularize_depth:
-            depth1 = regularize(depth1, variance1, flags)
-
-        self._push_refframe(keyframe)
-        self.state = SemiDenseVOState(pose_wc, depth1, variance1,
+        self._push_refframe(
+            SemiDenseFrame(jnp.asarray(self.camera_params.focal_length),
+                           jnp.asarray(self.camera_params.offset),
+                           image, T_wk),
+            push_T_host)
+        self.state = SemiDenseVOState(Pose(R_wk, t_wk), depth1, variance1,
                                       age1, flags)
         self._prev_image = image
         return self.state
 
     def _initialize(self, image):
         H, W = image.shape
+        self._image_shape = (H, W)
         rng = np.random.default_rng(self.seed)
         depth = jnp.asarray(
             rng.uniform(*self.depth_range, (H, W)).astype(np.float32))
@@ -129,12 +307,29 @@ class SemiDenseVO:
         age = jnp.zeros((H, W), dtype=jnp.int32)
         pose_wc = Pose.identity()
         keyframe = make_frame(self.camera_params, image, pose_wc.T)
-        self._push_refframe(keyframe)
+        self._push_refframe(keyframe, np.eye(4))
         self.state = SemiDenseVOState(pose_wc, depth, variance, age, None)
         self._prev_image = image
         return self.state
 
-    def _push_refframe(self, keyframe):
+    def _push_refframe(self, keyframe, T_host):
         self.refframes.append(keyframe)
+        self._ref_Ts_host.append(np.asarray(T_host, np.float64))
+        self._ref_ids.append(self._frame_id)
+        self._frame_id += 1
         if len(self.refframes) > self.history_size:
             self.refframes.pop(0)
+            self._ref_Ts_host.pop(0)
+            self._ref_ids.pop(0)
+
+    @property
+    def pose_wc_host(self):
+        """Latest EXACT host pose (lags the device by one frame until
+        :meth:`finish` is called)."""
+        return self._pose_wc_host
+
+    def finish(self):
+        """Drain all pending pose fetches (one device sync); returns the
+        final exact host pose."""
+        self._advance_pose_chain(force=True)
+        return self._pose_wc_host

@@ -44,9 +44,10 @@ _BUDGET_BUCKETS = (4, 8, 12, 16, 24, 32, 48)
 
 class UpdatePlan(NamedTuple):
     path: str            # 'rect' | 'tent' | 'scatter'
-    n_planes: int
+    n_planes: tuple      # per-refframe for tent; (n,) global for rect
     flips: tuple         # rect only
-    warp_budget: int     # tent only
+    warp_budget: tuple   # tent only, per-refframe
+    redirect: tuple      # tent only: age index -> swept refframe index
 
 
 def _bucket_budget(v):
@@ -90,18 +91,31 @@ def _np_homography_span(Ha, Hb, image_shape, n=9):
 def plan_update(keyframe, refframes, params) -> UpdatePlan:
     """Choose the update path for this keyframe + refframe history.
 
-    Host-side numpy on the 4x4 poses and intrinsics only.
+    Reads the poses/intrinsics to the host (a device sync per array —
+    fine offline; the VO driver keeps host-side pose bookkeeping and
+    calls :func:`plan_update_np` instead, which never touches the
+    device).
     """
-    key_T = np.asarray(keyframe.transform_wf, np.float64)
-    key_f = np.asarray(keyframe.focal_length, np.float64)
-    key_c = np.asarray(keyframe.offset, np.float64)
-    image_shape = tuple(keyframe.image.shape)
-    q0 = float(np.asarray(params.min_inv_depth))
-    q1 = float(np.asarray(params.max_inv_depth))
+    return plan_update_np(
+        np.asarray(keyframe.transform_wf, np.float64),
+        np.asarray(keyframe.focal_length, np.float64),
+        np.asarray(keyframe.offset, np.float64),
+        tuple(keyframe.image.shape),
+        np.asarray(refframes.transform_wf, np.float64),
+        np.asarray(refframes.focal_length, np.float64),
+        np.asarray(refframes.offset, np.float64),
+        float(np.asarray(params.min_inv_depth)),
+        float(np.asarray(params.max_inv_depth)))
 
-    R_T = np.asarray(refframes.transform_wf, np.float64)
-    ref_fs = np.asarray(refframes.focal_length, np.float64)
-    ref_cs = np.asarray(refframes.offset, np.float64)
+
+def plan_update_np(key_T, key_f, key_c, image_shape,
+                   R_T, ref_fs, ref_cs, q0, q1) -> UpdatePlan:
+    """Pure-numpy planner core: no device arrays, no syncs.
+
+    ``key_T`` may be the PREDICTED keyframe pose (the VO driver plans
+    from a constant-velocity extrapolation so it never has to block on
+    the device pose); budget buckets absorb the prediction error.
+    """
     n_refs = R_T.shape[0]
 
     # --- rect feasibility + disparity range -------------------------------
@@ -110,6 +124,12 @@ def plan_update(keyframe, refframes, params) -> UpdatePlan:
     rect_range_px = 8.0
     for r in range(n_refs):
         T_rk = np.linalg.inv(R_T[r]) @ key_T
+        # rect needs a real baseline: near-zero translation (e.g. the
+        # first tracked frame planned from an identity pose prediction)
+        # makes the disparity-to-depth map degenerate
+        if np.linalg.norm(T_rk[:3, 3]) < 1e-5:
+            rect_ok = False
+            break
         ok, flip = rectification_feasible(
             T_rk, key_f, key_c, ref_fs[r], ref_cs[r], image_shape,
             RECT_MAX_DX, RECT_MAX_DY)
@@ -118,46 +138,94 @@ def plan_update(keyframe, refframes, params) -> UpdatePlan:
             break
         flips.append(flip)
         Rr, tr = T_rk[:3, :3], T_rk[:3, 3]
-        fB = key_f[0] * np.linalg.norm(-Rr.T @ tr)
-        rect_range_px = max(rect_range_px, fB * (q1 - q0))
-    if rect_ok and 1.1 * rect_range_px + N_KEY_SAMPLES + 2 <= MAX_PLANES:
-        # 10% headroom for the per-pixel v_z depth re-projection factor
-        return UpdatePlan(
+        b = -Rr.T @ tr
+        B = np.linalg.norm(b)
+        fB = key_f[0] * B
+        # per-pixel v_z spread over the image corners (the depth
+        # re-projection factor of the rectifying rotation): coverage must
+        # span [min_vz * q0, max_vz * q1] disparities, not a flat 10%
+        # headroom (ADVICE r3 item 2 — silent window truncation)
+        sgn = -1.0 if flip else 1.0
+        r1 = sgn * b / B
+        r2 = np.cross([0.0, 0.0, 1.0], r1)
+        r2 = r2 / max(np.linalg.norm(r2), 1e-12)
+        r3 = np.cross(r1, r2)
+        Hh, Ww = image_shape
+        cx = (np.array([0.0, Ww - 1.0]) - key_c[0]) / key_f[0]
+        cy = (np.array([0.0, Hh - 1.0]) - key_c[1]) / key_f[1]
+        vz = np.array([r1[2] * x + r2[2] * y + r3[2]
+                       for x in cx for y in cy])
+        span = fB * (vz.max() * q1 - vz.min() * q0)
+        rect_range_px = max(rect_range_px, span)
+    rect_plan = None
+    if rect_ok and rect_range_px + N_KEY_SAMPLES + 4 <= MAX_PLANES:
+        rect_plan = UpdatePlan(
             'rect',
-            _bucket_planes(1.1 * rect_range_px + N_KEY_SAMPLES + 2),
-            tuple(flips), 0)
+            (_bucket_planes(rect_range_px + N_KEY_SAMPLES + 4),),
+            tuple(flips), (), ())
 
-    # --- tent sweep feasibility ------------------------------------------
-    d_max = 0.0
-    range_px = 8.0
-    tent_ok = True
+    # --- tent sweep feasibility, PER refframe ---------------------------
+    # Each refframe gets its own budget/plane count (both grow with how
+    # far back it is); refframes over the budget cap are redirected to
+    # the nearest feasible one instead of dragging the whole history onto
+    # the scattered path.
     q_mid = 0.5 * (q0 + q1)
+    budgets = []          # per-refframe bucketed budget, None = infeasible
+    planes = []
     for r in range(n_refs):
         T_rk = np.linalg.inv(R_T[r]) @ key_T
+        d_max = 0.0
         Hs = {}
+        feasible = True
         for q in (q0, q_mid, q1):
             H_q = _plane_H(T_rk, q, key_f, key_c, ref_fs[r], ref_cs[r])
             dx, dy = _np_homography_displacement(H_q, image_shape)
             if not np.isfinite(dx) or not np.isfinite(dy):
-                tent_ok = False
+                feasible = False
                 break
             d_max = max(d_max, dx, dy)
             Hs[q] = H_q
-        if not tent_ok:
-            break
-        span = _np_homography_span(Hs[q0], Hs[q1], image_shape)
-        if not np.isfinite(span):
-            tent_ok = False
-            break
-        range_px = max(range_px, span)
-    if tent_ok:
-        b = _bucket_budget(d_max + 1.0)
-        if b is not None and b <= TENT_BUDGET_MAX:
-            # ~1-px plane spacing along the longest epipolar track
-            return UpdatePlan('tent', _bucket_planes(range_px + 6, cap=128),
-                              (), b)
+        span = 8.0
+        if feasible:
+            span = _np_homography_span(Hs[q0], Hs[q1], image_shape)
+            feasible = np.isfinite(span)
+        b = _bucket_budget(d_max + 1.0) if feasible else None
+        if b is None or b > TENT_BUDGET_MAX:
+            budgets.append(None)
+            planes.append(0)
+        else:
+            budgets.append(b)
+            # ~1-px plane spacing along this refframe's epipolar track,
+            # plus the 2*half_w template-window grid extension
+            planes.append(_bucket_planes(max(span, 8.0) + 10, cap=128))
 
-    return UpdatePlan('scatter', 0, (), 0)
+    feasible_idx = [r for r in range(n_refs) if budgets[r] is not None]
+    tent_plan = None
+    if feasible_idx:
+        redirect = tuple(
+            r if budgets[r] is not None
+            else min(feasible_idx, key=lambda j: (abs(j - r), j))
+            for r in range(n_refs))
+        tent_plan = UpdatePlan(
+            'tent',
+            tuple(planes[redirect[r]] for r in range(n_refs)),
+            (),
+            tuple(budgets[redirect[r]] or 0 for r in range(n_refs)),
+            redirect)
+
+    # Preference order: full-coverage tent (measures everything on the
+    # key grid — no cross-grid interpolation of priors/results) > rect
+    # (exact per-refframe geometry at ANY lateral baseline; the stereo
+    # path) > tent with age redirects (approximate refframe choice) >
+    # scatter.
+    if tent_plan is not None and len(feasible_idx) == n_refs:
+        return tent_plan
+    if rect_plan is not None:
+        return rect_plan
+    if tent_plan is not None:
+        return tent_plan
+
+    return UpdatePlan('scatter', (), (), (), ())
 
 
 def update_depth_fast(keyframe, refframes, age_map, prior_depth,
@@ -173,12 +241,13 @@ def update_depth_fast(keyframe, refframes, age_map, prior_depth,
     if plan.path == 'rect':
         return update_depth_rect(
             keyframe, refframes, age_map, prior_depth, prior_variance,
-            params, n_planes=plan.n_planes, flips=plan.flips,
+            params, n_planes=plan.n_planes[0], flips=plan.flips,
             max_dx=RECT_MAX_DX, max_dy=RECT_MAX_DY, use_pallas=use_pallas)
     if plan.path == 'tent':
         return update_depth_sweep(
             keyframe, refframes, age_map, prior_depth, prior_variance,
             params, n_planes=plan.n_planes, use_pallas=use_pallas,
-            warp_budget=plan.warp_budget, key_budget=KEY_BUDGET)
+            warp_budget=plan.warp_budget, key_budget=KEY_BUDGET,
+            redirect=plan.redirect)
     return update_depth(keyframe, refframes, age_map, prior_depth,
                         prior_variance, params)

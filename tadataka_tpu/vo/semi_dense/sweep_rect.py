@@ -180,8 +180,11 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
             vz = _flip_x(vz)
         key_rect, lo_r, hi_r = key_rect_b
 
-        # disparity plane grid: delta_j = delta0 + j, delta = fB * vz * q
-        delta0 = rect.fB * q_min * jnp.min(vz)
+        # disparity plane grid: delta_j = delta0 + j, delta = fB * vz * q.
+        # Starts half_w planes BELOW the smallest valid disparity so the
+        # 5-plane template window exists for priors at the far-depth end
+        # (without this, tight priors near max depth can never match).
+        delta0 = rect.fB * q_min * jnp.min(vz) - (N_KEY_SAMPLES // 2)
         base = const_shift_cols(ref_rect, -delta0, fill=-1.0)
         V = _shift_stack(base, n_planes, fill=-1.0)           # (S, H, W)
         K = _key_template(key_rect)                           # (5, H, W)
@@ -210,33 +213,42 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
         q_rect = d_star / (fB_eff + EPSILON)
         nm_rect = (bm < 0).astype(f32)
 
-        # back to the key grid: forward rotation warp of the result maps
-        out_batch = jnp.stack([q_rect, nm_rect, kgrad_rect])
+        # back to the key grid: forward rotation warp of the result maps.
+        # The disparity rides as a MATCH-WEIGHTED channel with the weight
+        # alongside: renormalizing excludes no-match lanes from the
+        # interpolation entirely instead of blending their placeholder
+        # disparity into neighbors (ADVICE r3 item 1)
+        w_rect = 1.0 - nm_rect
+        out_batch = jnp.stack([q_rect * w_rect, w_rect])
         if flips[r]:
             out_batch = _flip_x(out_batch)
         out_key, out_valid = rot_warp(out_batch, rect.H_key, max_dx, max_dy,
                                       fill=-1.0)
-        q_r = out_key[0]
-        nm_r = (out_key[1] > 0.5) | jnp.logical_not(out_valid)
-        kg_r = jnp.maximum(out_key[2], 0.0)
+        w_key = out_key[1]
+        q_r = out_key[0] / jnp.maximum(w_key, 1e-6)
+        nm_r = (w_key < 0.5) | jnp.logical_not(out_valid)
 
         sel = ridx_map == r
         q_star_map = jnp.where(sel, q_r, q_star_map)
         nomatch_map = jnp.where(sel, nm_r, nomatch_map)
-        kgrad_map = jnp.where(sel, kg_r, kgrad_map)
 
     q_star = jnp.clip(q_star_map.ravel(), lo, hi)
     no_match = nomatch_map.ravel()
 
-    # Gradient gate at REFERENCE support: the rectified template samples
-    # at 1 px (1/f_x normalized), usually finer than the reference's
-    # floored step; scale the measured gradient to the
-    # reference-equivalent spacing (geo.key_step_size) so the
-    # INSUFFICIENT_GRADIENT gate keeps its semantics.  The photometric
-    # variance consumes the (spacing-invariant) gradient density.
-    ks_fine = 1.0 / keyframe.focal_length[0]
-    gate_scale = geo.key_step_size / ks_fine
-    kgrad_post = kgrad_map.ravel() * gate_scale
+    # Gradient gate at REFERENCE support, measured on the ORIGINAL key
+    # image: the template's intensity variation over the +-2-step
+    # epipolar walk is 2 * |dI/dpx . p| with p the per-sample pixel step
+    # key_step_size * (dir * f).  (Measuring 1-px diffs on the RESAMPLED
+    # rect grid and rescaling attenuates twice — bilinear resampling
+    # low-passes the texture — and over-triggers INSUFFICIENT_GRADIENT
+    # as the prior tightens; the scattered estimator samples the
+    # original image, semi_dense.rs:134.)  The photometric variance
+    # consumes the same (spacing-invariant) gradient density.
+    from tadataka_tpu.core.gradients import np_gradient_2d
+    gcx, gcy = np_gradient_2d(keyframe.image)
+    px = geo.key_step_size * geo.key_dir_x * keyframe.focal_length[0]
+    py = geo.key_step_size * geo.key_dir_y * keyframe.focal_length[1]
+    kgrad_post = 2.0 * jnp.abs(gcx.ravel() * px + gcy.ravel() * py)
     ks_post = geo.key_step_size
 
     depth, variance, flags = jax.vmap(

@@ -185,18 +185,28 @@ def test_rect_flag_semantics():
 
 
 class TestPlanner:
-    def test_lateral_picks_rect(self):
-        _, kf, refs = _scene((0.5, 0.0, 0.0))
+    def test_wide_lateral_picks_rect(self):
+        # baseline wide enough that the tent budget cap is exceeded;
+        # rect handles any lateral baseline with per-plane const shifts
+        _, kf, refs = _scene((1.5, 0.0, 0.0))
         plan = plan_update(kf, refs, PARAMS)
         assert plan.path == 'rect'
         assert plan.flips == (False,)
-        assert plan.n_planes >= 16
+        assert plan.n_planes[0] >= 16
+
+    def test_small_lateral_prefers_tent(self):
+        # full-coverage tent (key-grid measurement) outranks rect when
+        # every refframe fits the tent budget
+        _, kf, refs = _scene((0.5, 0.0, 0.0))
+        plan = plan_update(kf, refs, PARAMS)
+        assert plan.path == 'tent'
+        assert plan.redirect == (0,)
 
     def test_forward_picks_tent(self):
         _, kf, refs = _scene((0.02, 0.0, 0.1), rotvec=(0.0, 0.005, 0.0))
         plan = plan_update(kf, refs, PARAMS)
         assert plan.path == 'tent'
-        assert plan.warp_budget > 0
+        assert all(b > 0 for b in plan.warp_budget)
 
     def test_dispatch_runs_all_paths(self):
         for t, rot in [((0.5, 0.0, 0.0), (0, 0, 0)),
