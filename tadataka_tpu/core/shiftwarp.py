@@ -76,6 +76,43 @@ def shift_warp_cols(img, x_map, max_shift):
     return _tent_pass(img, x_map, xs, max_shift, axis=1)
 
 
+def shift_warp_cols_block(img, x_map, max_shift, x0, w):
+    """Column tent resample restricted to output columns [x0, x0+w):
+
+        out[..., y, j] = img[..., y, x_map[y, j]]   (x_map in GLOBAL cols)
+
+    ``x0`` may be a traced scalar (multi-chip column sharding: each
+    device computes its own block from the REPLICATED image with zero
+    collectives); ``w`` is static.  Taps come from a (2*max_shift)-padded
+    column slab around the block, so results are bit-identical to the
+    full-width pass sliced to [x0, x0+w).  Returns (out, in_budget).
+    """
+    import jax.lax as lax
+    W = img.shape[-1]
+    f32 = img.dtype
+    w_slab = min(w + 2 * max_shift, W)
+    x0 = jnp.asarray(x0, jnp.int32)
+    slab_start = jnp.clip(x0 - max_shift, 0, W - w_slab)
+    starts = (0,) * (img.ndim - 1) + (slab_start,)
+    slab = lax.dynamic_slice(img, starts, img.shape[:-1] + (w_slab,))
+    pad = [(0, 0)] * (img.ndim - 1) + [(max_shift, max_shift)]
+    padded = jnp.pad(slab, pad, mode="edge")
+
+    xg = x0 + jnp.arange(w, dtype=f32)            # global output columns
+    c = jnp.clip(x_map, 0.0, W - 1.0)
+    disp = c - xg
+    in_budget = jnp.abs(disp) <= max_shift
+
+    base = x0 - slab_start                        # traced, in [0, 2B]
+    out = jnp.zeros(img.shape[:-1] + (w,), dtype=f32)
+    for k in range(-max_shift, max_shift + 1):
+        st = (0,) * (img.ndim - 1) + (base + k + max_shift,)
+        pslice = lax.dynamic_slice(padded, st, img.shape[:-1] + (w,))
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(disp - k))
+        out = out + wk * pslice
+    return out, in_budget
+
+
 def shift_warp_rows(img, y_map, max_shift):
     """Bilinear vertical resample: out[..., y, x] = img[..., y_map[y, x], x]."""
     W = img.shape[-1]
@@ -111,22 +148,16 @@ def tent_sample(img, x_map, y_map, max_dx, max_dy):
     return (out[0] if single else out), valid
 
 
-def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6):
-    """Homography warp by two tent shift-sum passes (Catmull-Smith order).
+def rot_warp_cols_block(img, H33, max_dx, max_dy, x0, w,
+                        fill=-1.0, eps=1e-6):
+    """rot_warp restricted to output columns [x0, x0+w) (x0 may be a
+    TRACED scalar — the multi-chip column-sharded path).
 
-    out(x', y') = img(U, V) with (U, V, 1) ~ H33 @ (x', y', 1), for
-    homographies whose displacement field is bounded by the static budgets
-    (max_dx, max_dy) — rotation-only / rectification homographies.
-
-    img may be (H, W) or (C, H, W) (channels warped identically).
-    Returns (warped, valid); invalid lanes (out of image, behind the
-    plane, over budget, or near the scanline-decomposition singularity)
-    hold ``fill``.
-
-    Math identical to core/warp2pass.py::homography_warp — pass A places
-    img(a(x', y), y) on ref row y with a = U(x', V^-1_{x'}(y)), pass B
-    gathers rows at V — but with both per-axis resamples executed as
-    shift sums instead of gathers.
+    Column sharding is the zero-communication axis for the two-pass
+    warp: pass A (columns) reads only a +-max_dx column slab of the
+    REPLICATED image at the device's own output columns, and pass B
+    (rows) is column-local — each device owns full rows of its columns.
+    Results are bit-identical to the full warp sliced to the block.
     """
     Hi, Wi = img.shape[-2:]
     f32 = img.dtype
@@ -135,7 +166,7 @@ def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6):
     h10, h11, h12 = H33[1, 0], H33[1, 1], H33[1, 2]
     h20, h21, h22 = H33[2, 0], H33[2, 1], H33[2, 2]
 
-    xo = jnp.arange(Wi, dtype=f32)[None, :]
+    xo = (x0 + jnp.arange(w, dtype=f32))[None, :]           # global cols
     yo = jnp.arange(Hi, dtype=f32)[:, None]
 
     D = h20 * xo + h21 * yo + h22
@@ -150,16 +181,108 @@ def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6):
     D_a = h20 * xo + h21 * y_src + h22
     a = (h00 * xo + h01 * y_src + h02) / jnp.where(D_a == 0.0, eps, D_a)
 
-    tmp, ok_a = shift_warp_cols(img, a, max_dx)
-    out, ok_b = shift_warp_rows(tmp, jnp.broadcast_to(V, (Hi, Wi)), max_dy)
+    tmp, ok_a = shift_warp_cols_block(img, a, max_dx, x0, w)
+    out, ok_b = _tent_pass(
+        tmp, jnp.clip(jnp.broadcast_to(V, (Hi, w)), 0.0, Hi - 1.0),
+        jnp.broadcast_to(yo, (Hi, w)), max_dy, axis=0)
+
+    # same validity semantics as rot_warp (ok_a at the output grid)
+    valid = ((D > eps)
+             & (U >= 0.0) & (U <= Wi - 1.0)
+             & (V >= 0.0) & (V <= Hi - 1.0)
+             & ok_b & jnp.logical_not(sing_a) & ok_a)
+    return jnp.where(valid, out, fill), valid
+
+
+def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6,
+             out_rows=None):
+    """Homography warp by two tent shift-sum passes (Catmull-Smith order).
+
+    out(x', y') = img(U, V) with (U, V, 1) ~ H33 @ (x', y', 1), for
+    homographies whose displacement field is bounded by the static budgets
+    (max_dx, max_dy) — rotation-only / rectification homographies.
+
+    img may be (H, W) or (C, H, W) (channels warped identically).
+    Returns (warped, valid); invalid lanes (out of image, behind the
+    plane, over budget, or near the scanline-decomposition singularity)
+    hold ``fill``.
+
+    ``out_rows=(y0, n)`` (static ints) computes only output rows
+    [y0, y0+n) — the multi-chip row-sharded path: each device warps its
+    own block (plus a max_dy source apron read from the REPLICATED
+    image), so no collective is ever needed for the warp itself.
+
+    Math identical to core/warp2pass.py::homography_warp — pass A places
+    img(a(x', y), y) on ref row y with a = U(x', V^-1_{x'}(y)), pass B
+    gathers rows at V — but with both per-axis resamples executed as
+    shift sums instead of gathers.
+    """
+    Hi, Wi = img.shape[-2:]
+    f32 = img.dtype
+    if out_rows is None:
+        y0_out, n_out = 0, Hi
+    else:
+        y0_out, n_out = out_rows
+
+    h00, h01, h02 = H33[0, 0], H33[0, 1], H33[0, 2]
+    h10, h11, h12 = H33[1, 0], H33[1, 1], H33[1, 2]
+    h20, h21, h22 = H33[2, 0], H33[2, 1], H33[2, 2]
+
+    # source rows feeding pass B for this output block
+    y_lo = max(y0_out - max_dy, 0)
+    y_hi = min(y0_out + n_out + max_dy, Hi)
+    n_src = y_hi - y_lo
+
+    xo = jnp.arange(Wi, dtype=f32)[None, :]
+    yo = (jnp.arange(n_out, dtype=f32) + y0_out)[:, None]   # global rows
+
+    D = h20 * xo + h21 * yo + h22
+    U = (h00 * xo + h01 * yo + h02) / jnp.where(D == 0.0, eps, D)
+    V = (h10 * xo + h11 * yo + h12) / jnp.where(D == 0.0, eps, D)
+
+    # pass A on the source-row slab: place img(a(x', y), y) at column x'
+    ys = (jnp.arange(n_src, dtype=f32) + y_lo)[:, None]     # global rows
+    denom_a = h11 - ys * h21
+    sing_row = jnp.abs(denom_a) < eps
+    denom_a = jnp.where(sing_row, eps, denom_a)
+    y_src = (ys * (h20 * xo + h22) - (h10 * xo + h12)) / denom_a
+    D_a = h20 * xo + h21 * y_src + h22
+    a = (h00 * xo + h01 * y_src + h02) / jnp.where(D_a == 0.0, eps, D_a)
+
+    slab = img[..., y_lo:y_hi, :]
+    tmp, ok_a = shift_warp_cols(slab, a, max_dx)
+
+    # pass B over the slab: local row coordinate = V - y_lo.  V is
+    # clamped to the IMAGE (validity separately requires V in range);
+    # in-budget lanes always land inside the slab by construction.
+    # Output row i sits at slab row i + off, so the tent sum slices the
+    # padded slab at a static offset (same math as _tent_pass).
+    off = y0_out - y_lo
+    V_full = jnp.clip(jnp.broadcast_to(V, (n_out, Wi)), 0.0, Hi - 1.0)
+    c = jnp.clip(V_full - y_lo, 0.0, n_src - 1.0)
+    base = (jnp.arange(n_out, dtype=f32) + off)[:, None]
+    disp = c - base
+    ok_b = jnp.abs(disp) <= max_dy
+    pad = [(0, 0)] * (tmp.ndim - 2) + [(max_dy, max_dy), (0, 0)]
+    padded = jnp.pad(tmp, pad, mode="edge")
+    out = jnp.zeros(tmp.shape[:-2] + (n_out, Wi), dtype=f32)
+    for k in range(-max_dy, max_dy + 1):
+        shifted = padded[..., off + k + max_dy:off + k + max_dy + n_out, :]
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(disp - k))
+        out = out + w * shifted
+
+    # pass A singularity rows, seen from the output grid
+    denom_o = h11 - yo * h21
+    sing_o = jnp.abs(denom_o) < eps
 
     valid = ((D > eps)
              & (U >= 0.0) & (U <= Wi - 1.0)
              & (V >= 0.0) & (V <= Hi - 1.0)
-             & ok_b & jnp.logical_not(sing_a | (jnp.abs(denom_a) < eps)))
+             & ok_b & jnp.logical_not(sing_o))
     # pass A's budget must hold at the rows pass B reads; V within budget
     # of y' and ok_a smooth — approximate by requiring ok_a at (y', x')
-    valid = valid & ok_a
+    ok_a_out = ok_a[y0_out - y_lo:y0_out - y_lo + n_out]
+    valid = valid & ok_a_out
     return jnp.where(valid, out, fill), valid
 
 

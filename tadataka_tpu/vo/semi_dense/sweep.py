@@ -47,7 +47,8 @@ from tadataka_tpu.core.transforms import (
     get_rotation, get_translation, inv_motion_matrix)
 from tadataka_tpu.core.warp2pass import homography_warp, displacement_warp
 from tadataka_tpu.core.shiftwarp import (
-    rot_warp, shift_warp_cols, shift_warp_rows)
+    rot_warp, rot_warp_cols_block, shift_warp_cols,
+    shift_warp_cols_block, shift_warp_rows)
 from tadataka_tpu.vo.semi_dense.estimator import (
     EPSILON, safe_invert, _pixel_geometry, _warp_point, _calc_alpha,
     _geo_var, _photo_var, calc_key_epipole)
@@ -102,7 +103,8 @@ def warp_plane_stack(ref_image, T_rk, qs, key_focal, key_offset,
 
 
 def warp_plane_stack_tent(ref_image, T_rk, qs, key_focal, key_offset,
-                          ref_focal, ref_offset, budget: int):
+                          ref_focal, ref_offset, budget: int,
+                          out_rows=None):
     """Gather-free plane stack via per-plane tent shift-sum warps.
 
     V_j(x) = ref(H_{q_j} x), each plane one bounded-displacement warp
@@ -112,12 +114,17 @@ def warp_plane_stack_tent(ref_image, T_rk, qs, key_focal, key_offset,
     exceeding it come out invalid (-1).  Feasible exactly when the
     inter-frame motion is small (consecutive VO frames, any direction —
     including forward, where scanline rectification is impossible).
+
+    ``out_rows=(y0, n)`` warps only those KEY-grid rows (multi-chip row
+    sharding: the ref image replicates, so each device builds its own
+    block of the stack with zero collectives).
     """
 
     def one(_, q):
         H_q = plane_homography(T_rk, q, key_focal, key_offset,
                                ref_focal, ref_offset)
-        warped, _ = rot_warp(ref_image, H_q, budget, budget, fill=-1.0)
+        warped, _ = rot_warp(ref_image, H_q, budget, budget, fill=-1.0,
+                             out_rows=out_rows)
         return None, warped
 
     _, stack = jax.lax.scan(one, None, qs)
@@ -274,27 +281,42 @@ def ssd_search(V, K, mlo, mhi, use_pallas=None):
 # ------------------------------------------------------------- key patch
 
 def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
-                     dir_y_map, budget: int = 0):
+                     dir_y_map, budget: int = 0, col_block=None):
     """(5, H, W) key-patch samples at offsets -2..2 along the per-pixel
     epipolar direction (epipolar.rs:22), via two-pass displacement warps.
 
     ``budget`` > 0 switches to the gather-free tent shift-sum passes
     (core/shiftwarp.py) with that static displacement budget — the TPU
-    path; 0 keeps the take_along_axis form (CPU/testing)."""
+    path; 0 keeps the take_along_axis form (CPU/testing).
+
+    ``col_block=(x0, w)`` (x0 may be traced) computes only those key
+    columns from the full ``key_image`` — the column-sharded multi-chip
+    path (requires budget > 0); the per-pixel maps are then (H, w)."""
     H, W = key_image.shape
     f32 = key_image.dtype
     half = N_KEY_SAMPLES // 2
-    xs = jnp.broadcast_to(jnp.arange(W, dtype=f32), (H, W))
-    ys = jnp.broadcast_to(jnp.arange(H, dtype=f32)[:, None], (H, W))
+    if col_block is None:
+        x0, w = 0, W
+        key_local = key_image
+    else:
+        assert budget > 0, "column-sharded key patch needs the tent path"
+        x0, w = col_block
+        key_local = jax.lax.dynamic_slice(key_image, (0, x0), (H, w))
+    xs = x0 + jnp.broadcast_to(jnp.arange(w, dtype=f32), (H, w))
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=f32)[:, None], (H, w))
     planes = []
     for k in range(-half, half + 1):
         if k == 0:
-            planes.append(key_image)
+            planes.append(key_local)
             continue
         dx = k * step_size_map * dir_x_map * key_focal[0]
         dy = k * step_size_map * dir_y_map * key_focal[1]
         if budget > 0:
-            tmp, _ = shift_warp_cols(key_image, xs + dx, budget)
+            if col_block is None:
+                tmp, _ = shift_warp_cols(key_image, xs + dx, budget)
+            else:
+                tmp, _ = shift_warp_cols_block(key_image, xs + dx,
+                                               budget, x0, w)
             warped, _ = shift_warp_rows(tmp, ys + dy, budget)
         else:
             warped, _ = displacement_warp(key_image, dx, dy)
@@ -376,7 +398,7 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
                        prior_variance, params: SemiDenseParams,
                        n_planes=DEFAULT_N_PLANES, use_pallas=None,
                        warp_budget=0, key_budget: int = 0,
-                       redirect=None):
+                       redirect=None, col_offset=None):
     """Full-map inverse-depth update via plane sweep.
 
     Same contract as estimator.update_depth (semi_dense.rs:160-237):
@@ -398,6 +420,16 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     redirect[r] — the planner points refframes whose warp exceeds the
     tent budget cap at the nearest feasible one, trading a slightly
     different baseline for staying off the scattered path.
+
+    ``col_offset`` (a traced scalar) switches to the COLUMN-SHARDED
+    multi-chip mode: ``age_map``/``prior_*`` are each device's local
+    (H, w) column block starting at that global column, while the
+    keyframe/refframe images stay replicated.  Column sharding is the
+    zero-communication axis for the two-pass warps — pass A reads a
+    bounded column slab of the replicated image, pass B is column-local
+    — so the per-device program contains NO collectives and matches the
+    single-device result to float-fusion precision (tests/parallel).
+    Requires warp_budget/key_budget > 0 (the tent path).
     """
     H, W = prior_depth.shape
     R_frames = refframes.image.shape[0]
@@ -407,6 +439,11 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     B_all = _per_ref_tuple(warp_budget, R_frames)
     if redirect is None:
         redirect = tuple(range(R_frames))
+    sharded = col_offset is not None
+    if sharded:
+        assert min(B_all) > 0 and key_budget > 0, (
+            "column-sharded sweep requires the tent warp path")
+        col_offset = jnp.asarray(col_offset, jnp.int32)
 
     T_wk = keyframe.transform_wf
     T_rk_all = jax.vmap(
@@ -414,10 +451,15 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     e_key_all = jax.vmap(
         lambda T_wr: calc_key_epipole(T_wk, T_wr))(refframes.transform_wf)
 
-    gx = sobel_x(keyframe.image, mode="zero")
-    gy = sobel_y(keyframe.image, mode="zero")
-
-    xs = jnp.arange(W, dtype=f32)
+    gx_full = sobel_x(keyframe.image, mode="zero")
+    gy_full = sobel_y(keyframe.image, mode="zero")
+    if sharded:
+        gx = jax.lax.dynamic_slice(gx_full, (0, col_offset), (H, W))
+        gy = jax.lax.dynamic_slice(gy_full, (0, col_offset), (H, W))
+        xs = col_offset.astype(f32) + jnp.arange(W, dtype=f32)
+    else:
+        gx, gy = gx_full, gy_full
+        xs = jnp.arange(W, dtype=f32)
     ys = jnp.arange(H, dtype=f32)
     X, Y = jnp.meshgrid(xs, ys)
     us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
@@ -488,9 +530,10 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     step_map = key_step_sweep.reshape(H, W)
     dirx_map = -geo.key_dir_x.reshape(H, W)
     diry_map = -geo.key_dir_y.reshape(H, W)
-    K_stack = _key_patch_stack(keyframe.image, keyframe.focal_length,
-                               step_map, dirx_map, diry_map,
-                               budget=key_budget)              # (5, H, W)
+    K_stack = _key_patch_stack(
+        keyframe.image, keyframe.focal_length, step_map, dirx_map,
+        diry_map, budget=key_budget,
+        col_block=(col_offset, W) if sharded else None)        # (5, H, W)
     key_grad_map = jnp.sqrt(
         jnp.sum(jnp.diff(K_stack, axis=0) ** 2, axis=0))       # (H, W)
 
@@ -526,7 +569,17 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
         tol = 0.5 * dq
         mlo = jnp.ceil((lo_map - tol - q0) / dq)
         mhi = jnp.floor((hi_map + tol - q0) / dq)
-        if B_all[r] > 0:
+        if sharded:
+            def one(_, q):
+                H_q = plane_homography(
+                    T_rk_all[r], q, keyframe.focal_length, keyframe.offset,
+                    refframes.focal_length[r], refframes.offset[r])
+                warped, _ = rot_warp_cols_block(
+                    refframes.image[r], H_q, B_all[r], B_all[r],
+                    col_offset, W, fill=-1.0)
+                return None, warped
+            _, V = jax.lax.scan(one, None, qs)
+        elif B_all[r] > 0:
             V = warp_plane_stack_tent(
                 refframes.image[r], T_rk_all[r], qs,
                 keyframe.focal_length, keyframe.offset,

@@ -217,3 +217,109 @@ def test_distributed_ba_realistic_scale(rng):
     e = float(jnp.mean(jnp.sum(r * r, axis=-1)))
     assert e < 1e-8
     assert np.isfinite(np.asarray(new_points)).all()
+
+
+def test_sharded_sweep_matches_single_device(rng):
+    """Column-sharded planned tent sweep + halo regularization vs the
+    single-device fast path (float-fusion precision)."""
+    from tadataka_tpu.camera import CameraParameters
+    from tadataka_tpu.core.pose import Pose
+    from tadataka_tpu.dataset.synthetic import multi_plane_scene
+    from tadataka_tpu.parallel import make_mesh
+    from tadataka_tpu.parallel.sharded_semi_dense import (
+        make_sharded_update_sweep)
+    from tadataka_tpu.vo.semi_dense import (
+        SemiDenseParams, make_frame, regularize)
+    from tadataka_tpu.vo.semi_dense.fast import (
+        plan_update, KEY_BUDGET)
+    from tadataka_tpu.vo.semi_dense.frame import stack_frames
+    from tadataka_tpu.vo.semi_dense.sweep import update_depth_sweep
+
+    H, W = 48, 64
+    poses = [Pose.identity(),
+             Pose.from_rotvec(jnp.array([0.0, 0.004, 0.0]),
+                              jnp.array([0.25, 0.02, 0.03]))]
+    ds = multi_plane_scene(n_frames=2, image_shape=(H, W),
+                           focal_length=(64.0, 64.0), poses=poses)
+    key, ref = ds[0], ds[1]
+    cam = CameraParameters.create((64.0, 64.0), (W / 2, H / 2))
+    params = SemiDenseParams.create(2.0, 50.0, ref_step_size=0.002,
+                                    min_gradient=0.01)
+    kf = make_frame(cam, key.image, key.pose.T)
+    refs = stack_frames([make_frame(cam, ref.image, ref.pose.T)])
+    gt = np.asarray(key.depth_map)
+    prior = jnp.asarray(
+        (gt + rng.uniform(-0.5, 0.5, gt.shape)).astype(np.float32))
+    variance = jnp.full((H, W), 0.05, jnp.float32)
+    age = jnp.ones((H, W), jnp.int32)
+
+    plan = plan_update(kf, refs, params)
+    assert plan.path == 'tent'
+
+    d1, v1, f1 = update_depth_sweep(
+        kf, refs, age, prior, variance, params, n_planes=plan.n_planes,
+        use_pallas=False, warp_budget=plan.warp_budget,
+        key_budget=KEY_BUDGET, redirect=plan.redirect)
+    d1r = regularize(d1, v1, f1)
+
+    mesh = make_mesh()
+    f = make_sharded_update_sweep(mesh, (H, W), plan, regularize=True,
+                                  use_pallas=False)
+    d8, v8, f8 = f(kf, refs, age, prior, variance, params)
+
+    np.testing.assert_array_equal(np.asarray(f8), np.asarray(f1))
+    np.testing.assert_allclose(np.asarray(v8), np.asarray(v1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1r),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_sweep_no_collectives_in_update(rng):
+    """The sweep itself (regularize off) must compile to a per-device
+    program with ZERO collectives — column sharding is the
+    zero-communication axis for the two-pass warps."""
+    from tadataka_tpu.camera import CameraParameters
+    from tadataka_tpu.core.pose import Pose
+    from tadataka_tpu.dataset.synthetic import multi_plane_scene
+    from tadataka_tpu.parallel import make_mesh
+    from tadataka_tpu.parallel.sharded_semi_dense import (
+        make_sharded_update_sweep)
+    from tadataka_tpu.vo.semi_dense import SemiDenseParams, make_frame
+    from tadataka_tpu.vo.semi_dense.fast import plan_update
+    from tadataka_tpu.vo.semi_dense.frame import stack_frames
+
+    H, W = 48, 64
+    poses = [Pose.identity(),
+             Pose.from_rotvec(jnp.array([0.0, 0.004, 0.0]),
+                              jnp.array([0.25, 0.02, 0.03]))]
+    ds = multi_plane_scene(n_frames=2, image_shape=(H, W),
+                           focal_length=(64.0, 64.0), poses=poses)
+    key, ref = ds[0], ds[1]
+    cam = CameraParameters.create((64.0, 64.0), (W / 2, H / 2))
+    params = SemiDenseParams.create(2.0, 50.0, ref_step_size=0.002,
+                                    min_gradient=0.01)
+    kf = make_frame(cam, key.image, key.pose.T)
+    refs = stack_frames([make_frame(cam, ref.image, ref.pose.T)])
+    prior = jnp.full((H, W), 8.0, jnp.float32)
+    variance = jnp.full((H, W), 0.05, jnp.float32)
+    age = jnp.ones((H, W), jnp.int32)
+
+    plan = plan_update(kf, refs, params)
+    mesh = make_mesh()
+    f_nr = make_sharded_update_sweep(mesh, (H, W), plan, regularize=False,
+                                     use_pallas=False)
+    hlo = f_nr.lower(kf, refs, age, prior, variance, params).compile()
+    text = hlo.as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in text, coll
+
+    # with regularization ON the only collective is the halo ppermute
+    f_r = make_sharded_update_sweep(mesh, (H, W), plan, regularize=True,
+                                    use_pallas=False)
+    text_r = f_r.lower(kf, refs, age, prior, variance,
+                       params).compile().as_text()
+    assert "collective-permute" in text_r
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "reduce-scatter"):
+        assert coll not in text_r, coll
