@@ -17,6 +17,8 @@ no rasterizer, runs on device.
 import math
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from tadataka_tpu.core.coordinates import image_coordinates
@@ -145,3 +147,66 @@ def multi_plane_scene(n_frames=6, image_shape=(120, 160),
     return PlaneSceneDataset(n_frames=n_frames, image_shape=image_shape,
                              focal_length=focal_length, poses=poses,
                              planes=planes)
+
+
+def export_tum_scene(root, n_frames=4, which_freiburg=1,
+                     image_shape=(480, 640), seed=0):
+    """Render a textured plane scene THROUGH the freiburg RadTan camera
+    and write it to ``root`` in real TUM RGB-D format (rgb/depth/
+    groundtruth txt indices, uint8 color PNGs, uint16 depth PNGs at the
+    5000 * per-sequence scale).
+
+    The reference's committed tum_rgbd test fixture contains all-zero
+    30x40 placeholder images (loader-test only), so pipeline-level TUM
+    evaluation uses this renderer instead: the images carry the true
+    RadTan distortion of the freiburg intrinsics
+    (/root/reference/tadataka/dataset/tum_rgbd.py:16) and the depth PNGs
+    go through the exact uint16/depth-factor quantization the loader
+    reverses — the full ingestion path is exercised in anger.
+
+    Returns the list of ground-truth camera->world Poses.
+    """
+    from pathlib import Path
+    from scipy.spatial.transform import Rotation
+
+    from tadataka_tpu.dataset.image_io import imsave
+    from tadataka_tpu.dataset.tum_rgbd import (
+        DEPTH_FACTOR, _cfg, get_camera_model_rgb)
+
+    root = Path(root)
+    (root / "rgb").mkdir(parents=True, exist_ok=True)
+    (root / "depth").mkdir(exist_ok=True)
+    cfg = _cfg(which_freiburg)
+    depth_factor = DEPTH_FACTOR * cfg["scale"]
+    camera_model = get_camera_model_rgb(which_freiburg)
+
+    poses = [Pose.from_rotvec(
+        jnp.asarray([0.0, 0.004 * i, 0.001 * i], jnp.float32),
+        jnp.asarray([0.03 * i, 0.01 * i, 0.02 * i], jnp.float32))
+        for i in range(n_frames)]
+
+    lines_rgb = ["# color images"]
+    lines_depth = ["# depth images"]
+    lines_gt = ["# ground truth"]
+    for i, pose in enumerate(poses):
+        image, depth = render_plane_scene(
+            camera_model, pose, image_shape,
+            plane_origin=(0.0, 0.0, 2.5),
+            plane_normal=(0.06, -0.04, -1.0))
+        rgb8 = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+        rgb8 = np.repeat(rgb8[:, :, None], 3, axis=2)
+        dep16 = np.clip(np.asarray(depth) * depth_factor,
+                        0, 65535).astype(np.uint16)
+        t = 100.0 + 0.1 * i
+        imsave(root / "rgb" / f"{t:.4f}.png", rgb8)
+        imsave(root / "depth" / f"{t + 0.01:.4f}.png", dep16)
+        lines_rgb.append(f"{t:.4f} rgb/{t:.4f}.png")
+        lines_depth.append(f"{t + 0.01:.4f} depth/{t + 0.01:.4f}.png")
+        q = Rotation.from_matrix(np.asarray(pose.R)).as_quat()
+        p = np.asarray(pose.t)
+        lines_gt.append(f"{t + 0.005:.4f} {p[0]} {p[1]} {p[2]} "
+                        f"{q[0]} {q[1]} {q[2]} {q[3]}")
+    (root / "rgb.txt").write_text("\n".join(lines_rgb) + "\n")
+    (root / "depth.txt").write_text("\n".join(lines_depth) + "\n")
+    (root / "groundtruth.txt").write_text("\n".join(lines_gt) + "\n")
+    return poses

@@ -63,11 +63,11 @@ class FeatureBasedVO:
         self.patch_size = patch_size
         self.fast_threshold = fast_threshold
         # None -> the reference's adaptive gate 3*rms/n (pose.py:67-74).
-        # A/B on the real NewTsukuba clip (5 frames, ATE after Umeyama):
-        # guided+adaptive 0.042cm, guided+fixed-0.005 0.053cm, unguided+
-        # fixed 0.045cm, unguided+adaptive 0.181cm — adaptive wins when
-        # guided matching keeps the association count healthy, so both
-        # reference behaviors (adaptive gate) and the guided upgrade stay on
+        # Guided matching keeps the association count healthy enough for
+        # the adaptive gate to win; the benchmark configuration
+        # (fast_threshold 20/255, max_keypoints 1024, min_matches 40)
+        # lands at ATE ~0.08 cm on the 5-frame NewTsukuba clip —
+        # regression-gated at 0.13 cm by tests/realdata.
         self.pnp_threshold = pnp_threshold
         # guided local-map tracking: spatial search window (normalized
         # coords) for re-associating map points after the first PnP;
@@ -78,6 +78,13 @@ class FeatureBasedVO:
         self.poses = {}           # viewpoint -> Pose (world->camera, local)
         self.features = {}        # viewpoint -> Features (normalized kps)
         self.raw_keypoints = {}   # viewpoint -> (K, 2) pixel keypoints
+        # host copies fetched ONCE per frame: through a remote-dispatch
+        # TPU tunnel every np.asarray of a device array is a ~30 ms round
+        # trip, so device values the host bookkeeping indexes repeatedly
+        # (keypoints, descriptors) are cached as numpy at extraction time
+        self._kp_np = {}          # viewpoint -> (K, 2) np normalized kps
+        self._desc_np = {}        # viewpoint -> (K, D) np descriptors
+        self._current_kp_np = None
         # correspondence: viewpoint -> {keypoint_index: point_id}
         self.correspondences = {}
         self.point_dict = {}      # point_id -> (3,) np.ndarray
@@ -124,40 +131,53 @@ class FeatureBasedVO:
                                  max_keypoints=self.max_keypoints,
                                  threshold=self.fast_threshold,
                                  patch_size=self.patch_size)
-        keypoints_px = np.asarray(feats.keypoints)
-        normalized = np.asarray(camera_model.normalize(feats.keypoints))
-        return feats, keypoints_px, normalized
+        normalized_dev = camera_model.normalize(feats.keypoints)
+        # ONE device fetch for everything the host indexes this frame
+        packed = np.asarray(jnp.concatenate(
+            [feats.keypoints, normalized_dev,
+             feats.mask[:, None].astype(jnp.float32)], axis=1))
+        keypoints_px = packed[:, :2]
+        normalized = packed[:, 2:4]
+        n_valid = int(packed[:, 4].sum())
+        return feats, keypoints_px, normalized, normalized_dev, n_valid
 
     def _match(self, features1, viewpoints):
         """Compacted (n, 2) match index arrays per viewpoint with enough
-        inliers (filter_matches semantics, feature_based.py:74-82)."""
+        inliers (filter_matches semantics, feature_based.py:74-82).
+
+        All per-viewpoint matcher programs are dispatched first and their
+        results stacked on device — TWO host fetches total instead of two
+        per viewpoint."""
+        results = [self.matcher(self.features[v], features1)
+                   for v in viewpoints]
+        masks = np.asarray(jnp.stack([m.mask for m in results]))
+        indices = np.asarray(jnp.stack([m.indices for m in results]))
         pairs = []
         kept_viewpoints = []
-        for v in viewpoints:
-            m = self.matcher(self.features[v], features1)
-            mask = np.asarray(m.mask)
-            idx = np.asarray(m.indices)[mask]
-            if len(idx) >= self.min_matches:
-                pairs.append(idx)
+        for v, mask, idx in zip(viewpoints, masks, indices):
+            sel = idx[mask.astype(bool)]
+            if len(sel) >= self.min_matches:
+                pairs.append(sel)
                 kept_viewpoints.append(v)
         if not pairs:
             raise NotEnoughInliersException("Not enough matches found")
         return pairs, kept_viewpoints
 
     def _normalized_keypoints(self, viewpoint):
-        return np.asarray(self.features[viewpoint].keypoints_normalized)
+        return self._kp_np[viewpoint]
 
     def add(self, camera_model, image, min_keypoints=8):
         image = np.asarray(image)
-        feats, keypoints_px, normalized = self._extract(camera_model, image)
-        n_valid = int(np.asarray(feats.mask).sum())
+        feats, keypoints_px, normalized, normalized_dev, n_valid = \
+            self._extract(camera_model, image)
         if n_valid <= min_keypoints:
             print_error("Keypoints not sufficient")
             return -1
 
         # store normalized keypoints in the Features slot (the matcher uses
         # descriptors+mask; geometry uses normalized coords)
-        features1 = feats._replace(keypoints=jnp.asarray(normalized))
+        features1 = feats._replace(keypoints=normalized_dev)
+        self._current_kp_np = normalized
 
         viewpoint1 = (self.active_viewpoints[-1] + 1
                       if self.active_viewpoints else 0)
@@ -190,6 +210,8 @@ class FeatureBasedVO:
 
         self.features[viewpoint1] = features1
         self.raw_keypoints[viewpoint1] = keypoints_px
+        self._kp_np[viewpoint1] = normalized
+        self._desc_np[viewpoint1] = None      # fetched lazily if needed
         self.active_viewpoints.append(viewpoint1)
 
         if len(self.active_viewpoints) >= 3:
@@ -221,8 +243,8 @@ class FeatureBasedVO:
         pairs, _ = self._match(features1, [viewpoint0])
         matches01 = pairs[0]
 
-        kp0 = np.asarray(features0.keypoints)[matches01[:, 0]]
-        kp1 = np.asarray(features1.keypoints)[matches01[:, 1]]
+        kp0 = self._kp_np[viewpoint0][matches01[:, 0]]
+        kp1 = self._current_kp_np[matches01[:, 1]]
 
         pose1 = estimate_pose_change(jnp.asarray(kp0), jnp.asarray(kp1))
         pose1 = Pose(np.asarray(pose1.R), np.asarray(pose1.t))
@@ -290,7 +312,6 @@ class FeatureBasedVO:
         global-matching-only localization — returns (pose, {kp1: pid}).
         """
         from tadataka_tpu.features.matching import match_descriptors_guided
-        from tadataka_tpu.core.projection import pi as project
 
         # each map point's descriptor from its most recent observation
         pids, pts, descs = [], [], []
@@ -298,7 +319,9 @@ class FeatureBasedVO:
         for v in reversed(self.active_viewpoints):
             if v not in self.features:
                 continue
-            descs_v = np.asarray(self.features[v].descriptors)
+            if self._desc_np.get(v) is None:
+                self._desc_np[v] = np.asarray(self.features[v].descriptors)
+            descs_v = self._desc_np[v]
             for kp_idx, pid in self.correspondences[v].items():
                 if pid in seen or pid not in self.point_dict:
                     continue
@@ -321,7 +344,7 @@ class FeatureBasedVO:
 
         P = pts_p @ np.asarray(pose1.R).T + np.asarray(pose1.t)
         in_front = P[:, 2] > 1e-6
-        pred = np.asarray(project(jnp.asarray(P)))
+        pred = P[:, :2] / np.maximum(P[:, 2:3], 1e-16)   # host-side pi
 
         matches = match_descriptors_guided(
             jnp.asarray(descs_p), features1.descriptors,
@@ -334,7 +357,7 @@ class FeatureBasedVO:
             return pose1, {}
 
         obj = pts_p[idx[:, 0]]
-        img = np.asarray(features1.keypoints)[idx[:, 1]]
+        img = self._current_kp_np[idx[:, 1]]
         n = len(obj)
         pcap = pow2_cap(n)
         try:
@@ -359,8 +382,7 @@ class FeatureBasedVO:
                 pid = corr0.get(int(i0))
                 if pid is not None:
                     object_points.append(self.point_dict[pid])
-                    image_points.append(
-                        np.asarray(features1.keypoints)[i1])
+                    image_points.append(self._current_kp_np[i1])
         if len(object_points) < 6:
             raise NotEnoughInliersException("No sufficient correspondences")
         # ~2.5 px at typical focal lengths; the adaptive reference formula
@@ -403,8 +425,8 @@ class FeatureBasedVO:
             if not fresh:
                 continue
             fresh = np.asarray(fresh)
-            kp0 = np.asarray(self.features[v].keypoints)[fresh[:, 0]]
-            kp1 = np.asarray(features1.keypoints)[fresh[:, 1]]
+            kp0 = self._kp_np[v][fresh[:, 0]]
+            kp1 = self._current_kp_np[fresh[:, 1]]
             points, mask = _triangulate(self.poses[v], pose1, kp0, kp1)
             ids = self._new_point_ids(int(mask.sum()))
             upd0 = {}
@@ -425,7 +447,7 @@ class FeatureBasedVO:
 
         vi, pi_, keypoints = [], [], []
         for j, v in enumerate(viewpoints):
-            kps = np.asarray(self.features[v].keypoints)
+            kps = self._kp_np[v]
             for kp_idx, pid in self.correspondences[v].items():
                 vi.append(j)
                 pi_.append(id_to_index[pid])
@@ -457,4 +479,6 @@ class FeatureBasedVO:
         self.features.pop(v, None)
         self.raw_keypoints.pop(v, None)
         self.correspondences.pop(v, None)
+        self._kp_np.pop(v, None)
+        self._desc_np.pop(v, None)
         return True

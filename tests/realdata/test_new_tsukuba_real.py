@@ -263,3 +263,29 @@ def test_vitamin_e_vo_trajectory(tsukuba_dataset):
     assert ate < 0.12 * span
     # the triangulated track map is dense (thousands of points)
     assert len(vo.points) > 1000
+
+
+def test_feature_vo_ate_regression(tsukuba_dataset):
+    """Accuracy gate: feature-based VO trajectory ATE on the real clip
+    must stay at or below the round-2 level (VERDICT r3 item 5) under
+    the BENCHMARK configuration, so throughput work can't silently
+    trade accuracy away."""
+    import jax.numpy as jnp
+    from tadataka_tpu.vo.feature_based import FeatureBasedVO
+    from tadataka_tpu.metrics import absolute_trajectory_error
+
+    vo = FeatureBasedVO(fast_threshold=20.0 / 255.0, min_matches=40,
+                        max_keypoints=1024)
+    est, gt = [], []
+    for i in range(len(tsukuba_dataset)):
+        L, _ = tsukuba_dataset[i]
+        pose = vo.estimate(L)
+        if pose is not None:
+            est.append(np.asarray(pose.t))
+            gt.append(np.asarray(L.pose.t))
+    assert len(est) == len(tsukuba_dataset)
+    ate = float(absolute_trajectory_error(jnp.asarray(np.stack(est)),
+                                          jnp.asarray(np.stack(gt))))
+    span = float(np.linalg.norm(np.stack(gt) - gt[0], axis=1).max())
+    assert span > 1.0            # the clip really moves (cm units)
+    assert ate <= 0.13, f"feature-VO ATE regressed: {ate:.4f} cm"
