@@ -10,7 +10,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from tadataka_tpu.core.pose import Pose
-from tadataka_tpu.core.so3 import exp_so3, log_so3
 from tadataka_tpu.ba.schur import lm_solve
 
 
@@ -40,11 +39,17 @@ def run_ba(viewpoint_indices, point_indices, poses, points, keypoints_true,
     observations; LM damping keeps their Schur blocks invertible and
     their garbage updates are sliced away).
     """
+    from scipy.spatial.transform import Rotation
+
     from tadataka_tpu.utils.padding import pow2_cap, pad_rows
 
     # numpy-side packing: stacking a VARIABLE number of poses with jnp
-    # would compile a new concatenate per window size
-    rotvecs = np.stack([np.asarray(log_so3(p.R)) for p in poses])
+    # would compile a new concatenate per window size.  The per-pose
+    # log/exp maps run through scipy on the HOST — a device log_so3 per
+    # pose costs a dispatch + fetch round trip each (~35 ms through the
+    # tunnel), 2M round trips per BA call.
+    Rs = np.stack([np.asarray(p.R) for p in poses])
+    rotvecs = Rotation.from_matrix(Rs).as_rotvec()
     ts = np.stack([np.asarray(p.t) for p in poses])
     pose_params = np.concatenate([rotvecs, ts], axis=-1).astype(np.float32)
 
@@ -69,11 +74,15 @@ def run_ba(viewpoint_indices, point_indices, poses, points, keypoints_true,
         absolute_error_threshold=1e-9,
         relative_error_threshold=relative_error_threshold)
 
-    new_params = np.asarray(new_params)
-    new_poses = [Pose(np.asarray(exp_so3(jnp.asarray(new_params[j, :3]))),
-                      new_params[j, 3:])
+    # ONE fetch for both outputs, host-side exp map
+    flat = np.asarray(jnp.concatenate([new_params.ravel(),
+                                       new_points.ravel()]))
+    new_params = flat[:new_params.size].reshape(-1, 6)
+    new_points = flat[new_params.size * 6 // 6:].reshape(-1, 3)[:n_pts]
+    new_poses = [Pose(Rotation.from_rotvec(new_params[j, :3]).as_matrix()
+                      .astype(np.float32), new_params[j, 3:])
                  for j in range(n_poses)]
-    return new_poses, np.asarray(new_points)[:n_pts]
+    return new_poses, new_points
 
 
 def try_run_ba(viewpoint_indices, point_indices, poses, points,

@@ -280,7 +280,12 @@ def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6,
              & (V >= 0.0) & (V <= Hi - 1.0)
              & ok_b & jnp.logical_not(sing_o))
     # pass A's budget must hold at the rows pass B reads; V within budget
-    # of y' and ok_a smooth — approximate by requiring ok_a at (y', x')
+    # of y' and ok_a smooth — approximated by requiring ok_a at (y', x').
+    # Warping ok_a through pass B (as tent_sample does) would make this
+    # exact but adds a full extra channel to EVERY plane's row pass —
+    # ~+50% warp cost across the sweep stack for a boundary-lane nicety;
+    # affected lanes sit within max_dy rows of a budget edge and their
+    # slightly-clamped values still enter a normalized SSD vote.
     ok_a_out = ok_a[y0_out - y_lo:y0_out - y_lo + n_out]
     valid = valid & ok_a_out
     return jnp.where(valid, out, fill), valid

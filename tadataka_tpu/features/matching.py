@@ -116,6 +116,40 @@ def match_descriptors_guided(descriptors1, descriptors2, mask1, mask2,
     return Matches(indices, valid)
 
 
+@partial(jax.jit, static_argnames=("enable_ransac",
+                                   "enable_homography_filter",
+                                   "min_inliers"))
+def match_pairs_stacked(descs1, kps1, masks1, desc2, kp2, mask2, keys,
+                        enable_ransac=True, enable_homography_filter=True,
+                        min_inliers=12):
+    """All keyframe-window pairs against one new frame as ONE vmapped
+    program: (V, K, D) stacked old-viewpoint features vs the new frame.
+
+    Returns (indices (V, K, 2), masks (V, K)).  One dispatch + one fetch
+    replaces V sequential Matcher programs — on a remote-dispatch TPU
+    path each extra dispatch/fetch costs 5-30 ms (vo/feature_based.py).
+    Semantics per pair are identical to Matcher.__call__.
+    """
+    from tadataka_tpu.features.ransac import ransac_fundamental
+    from tadataka_tpu.features.filters import symmetric_transfer_filter
+
+    def one(d1, k1, m1, key):
+        matches = match_descriptors(d1, desc2, m1, mask2)
+        p1 = k1[matches.indices[:, 0]]
+        p2 = kp2[matches.indices[:, 1]]
+        enough = matches.n_valid >= min_inliers
+        mask = matches.mask
+        if enable_ransac:
+            _, inlier_mask = ransac_fundamental(p1, p2, mask, key)
+            mask = jnp.where(enough, mask & inlier_mask, mask)
+        if enable_homography_filter:
+            filter_mask = symmetric_transfer_filter(p1, p2, mask, p=0.95)
+            mask = jnp.where(enough, mask & filter_mask, mask)
+        return matches.indices, mask
+
+    return jax.vmap(one)(descs1, kps1, masks1, keys)
+
+
 class Matcher:
     """match -> RANSAC(F) -> chi^2 homography filter, capacity-stable.
 
@@ -128,6 +162,21 @@ class Matcher:
         self.enable_ransac = enable_ransac
         self.enable_homography_filter = enable_homography_filter
         self.key = jax.random.PRNGKey(seed)
+
+    def match_many(self, features_list, features2, min_inliers=12):
+        """Match every features in ``features_list`` against
+        ``features2`` in one vmapped program; returns device
+        (indices (V, K, 2), masks (V, K))."""
+        descs1 = jnp.stack([f.descriptors for f in features_list])
+        kps1 = jnp.stack([f.keypoints for f in features_list])
+        masks1 = jnp.stack([f.mask for f in features_list])
+        keys = jax.random.split(self.key, len(features_list))
+        return match_pairs_stacked(
+            descs1, kps1, masks1,
+            features2.descriptors, features2.keypoints, features2.mask,
+            keys, enable_ransac=self.enable_ransac,
+            enable_homography_filter=self.enable_homography_filter,
+            min_inliers=min_inliers)
 
     def __call__(self, features1, features2, min_inliers=12):
         from tadataka_tpu.features.ransac import ransac_fundamental

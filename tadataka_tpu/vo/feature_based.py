@@ -37,6 +37,30 @@ from tadataka_tpu.utils.exceptions import (
 from tadataka_tpu.utils.padding import pow2_cap, pad_rows, row_mask
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "threshold",
+                                   "patch_size"))
+def _extract_packed(image, camera_model, max_keypoints, threshold,
+                    patch_size):
+    """Detection + descriptors + normalization + host-fetch packing as
+    ONE device program (one dispatch, one fetch per frame)."""
+    feats = extract_features(image, max_keypoints=max_keypoints,
+                             threshold=threshold, patch_size=patch_size)
+    normalized = camera_model.normalize(feats.keypoints)
+    packed = jnp.concatenate(
+        [feats.keypoints, normalized,
+         feats.mask[:, None].astype(jnp.float32)], axis=1)
+    return feats, normalized, packed
+
+
+def _fetch_pose(pose_dev):
+    """Fetch a device Pose with ONE host read (R and t packed)."""
+    flat = np.asarray(jnp.concatenate([pose_dev.R.ravel(), pose_dev.t]))
+    return Pose(flat[:9].reshape(3, 3), flat[9:])
+
+
 def _triangulate(pose0, pose1, keypoints0, keypoints1):
     """Two-view triangulation padded to a power-of-two batch so the
     jitted SVD program compiles per capacity bucket, not per count."""
@@ -127,15 +151,11 @@ class FeatureBasedVO:
         if np.asarray(image).ndim == 3:
             from tadataka_tpu.dataset.image_io import rgb2gray
             image = rgb2gray(np.asarray(image))
-        feats = extract_features(jnp.asarray(image),
-                                 max_keypoints=self.max_keypoints,
-                                 threshold=self.fast_threshold,
-                                 patch_size=self.patch_size)
-        normalized_dev = camera_model.normalize(feats.keypoints)
+        feats, normalized_dev, packed_dev = _extract_packed(
+            jnp.asarray(image), camera_model,
+            self.max_keypoints, self.fast_threshold, self.patch_size)
         # ONE device fetch for everything the host indexes this frame
-        packed = np.asarray(jnp.concatenate(
-            [feats.keypoints, normalized_dev,
-             feats.mask[:, None].astype(jnp.float32)], axis=1))
+        packed = np.asarray(packed_dev)
         keypoints_px = packed[:, :2]
         normalized = packed[:, 2:4]
         n_valid = int(packed[:, 4].sum())
@@ -148,10 +168,14 @@ class FeatureBasedVO:
         All per-viewpoint matcher programs are dispatched first and their
         results stacked on device — TWO host fetches total instead of two
         per viewpoint."""
-        results = [self.matcher(self.features[v], features1)
-                   for v in viewpoints]
-        masks = np.asarray(jnp.stack([m.mask for m in results]))
-        indices = np.asarray(jnp.stack([m.indices for m in results]))
+        indices_dev, masks_dev = self.matcher.match_many(
+            [self.features[v] for v in viewpoints], features1)
+        V, K = masks_dev.shape
+        packed = np.asarray(jnp.concatenate(
+            [indices_dev.reshape(V, -1), masks_dev.astype(jnp.int32)],
+            axis=1, dtype=jnp.int32))
+        indices = packed[:, :2 * K].reshape(V, K, 2)
+        masks = packed[:, 2 * K:].astype(bool)
         pairs = []
         kept_viewpoints = []
         for v, mask, idx in zip(viewpoints, masks, indices):
@@ -247,7 +271,7 @@ class FeatureBasedVO:
         kp1 = self._current_kp_np[matches01[:, 1]]
 
         pose1 = estimate_pose_change(jnp.asarray(kp0), jnp.asarray(kp1))
-        pose1 = Pose(np.asarray(pose1.R), np.asarray(pose1.t))
+        pose1 = _fetch_pose(pose1)
         points, mask = _triangulate(pose0, pose1, kp0, kp1)
 
         # two-view BA refinement: the least-squares essential estimate is
@@ -313,46 +337,55 @@ class FeatureBasedVO:
         """
         from tadataka_tpu.features.matching import match_descriptors_guided
 
-        # each map point's descriptor from its most recent observation
-        pids, pts, descs = [], [], []
+        # each map point's descriptor from its most recent observation;
+        # descriptors stay ON DEVICE (they are already there) — only the
+        # (viewpoint, keypoint) index pairs are uploaded and the (P, D)
+        # selection is a device gather, instead of re-uploading ~2 MB of
+        # descriptor rows every frame through the tunnel
+        window = [v for v in self.active_viewpoints if v in self.features]
+        v_pos = {v: i for i, v in enumerate(window)}
+        pids, pts, sel = [], [], []
         seen = set()
-        for v in reversed(self.active_viewpoints):
-            if v not in self.features:
-                continue
-            if self._desc_np.get(v) is None:
-                self._desc_np[v] = np.asarray(self.features[v].descriptors)
-            descs_v = self._desc_np[v]
+        for v in reversed(window):
             for kp_idx, pid in self.correspondences[v].items():
                 if pid in seen or pid not in self.point_dict:
                     continue
                 seen.add(pid)
                 pids.append(pid)
                 pts.append(self.point_dict[pid])
-                descs.append(descs_v[kp_idx])
+                sel.append((v_pos[v], kp_idx))
         if len(pids) < 6:
             return pose1, {}
 
         pts = np.asarray(pts, np.float32)
-        descs = np.asarray(descs, np.float32)
         # pad to power-of-two capacity so jit shapes stay stable
         cap = 1 << int(np.ceil(np.log2(max(len(pids), 16))))
         pad = cap - len(pids)
         mask = np.concatenate([np.ones(len(pids), bool), np.zeros(pad, bool)])
         pts_p = np.concatenate([pts, np.ones((pad, 3), np.float32)])
-        descs_p = np.concatenate(
-            [descs, np.ones((pad, descs.shape[1]), np.float32)])
+        sel_p = np.concatenate(
+            [np.asarray(sel, np.int32),
+             np.zeros((pad, 2), np.int32)])
+        descs_stack = jnp.stack([self.features[v].descriptors
+                                 for v in window])
+        descs_p = descs_stack[jnp.asarray(sel_p[:, 0]),
+                              jnp.asarray(sel_p[:, 1])]
 
         P = pts_p @ np.asarray(pose1.R).T + np.asarray(pose1.t)
         in_front = P[:, 2] > 1e-6
         pred = P[:, :2] / np.maximum(P[:, 2:3], 1e-16)   # host-side pi
 
         matches = match_descriptors_guided(
-            jnp.asarray(descs_p), features1.descriptors,
+            descs_p, features1.descriptors,
             jnp.asarray(mask & in_front), features1.mask,
             jnp.asarray(pred), features1.keypoints,
             jnp.float32(self.guided_radius))
-        m = np.asarray(matches.mask)
-        idx = np.asarray(matches.indices)[m]
+        packed = np.asarray(jnp.concatenate(
+            [matches.indices.ravel(),
+             matches.mask.astype(jnp.int32)], dtype=jnp.int32))
+        n_rows = matches.indices.shape[0]
+        m = packed[2 * n_rows:].astype(bool)
+        idx = packed[:2 * n_rows].reshape(-1, 2)[m]
         if len(idx) < 6:
             return pose1, {}
 
@@ -369,7 +402,7 @@ class FeatureBasedVO:
         except NotEnoughInliersException:
             return pose1, {}
         assoc = {int(i1): pids[int(i0)] for i0, i1 in idx}
-        return Pose(np.asarray(refined.R), np.asarray(refined.t)), assoc
+        return _fetch_pose(refined), assoc
 
     def _solve_pnp(self, features1, viewpoints, pairs):
         """Localize against already-triangulated points (estime_pose
@@ -394,7 +427,7 @@ class FeatureBasedVO:
         img = pad_rows(np.asarray(image_points, np.float32), cap, 0.0)
         return_pose = solve_pnp(obj, img, mask=jnp.asarray(row_mask(n, cap)),
                                 reprojection_threshold=self.pnp_threshold)
-        return Pose(np.asarray(return_pose.R), np.asarray(return_pose.t))
+        return _fetch_pose(return_pose)
 
     def _triangulate_new(self, viewpoints, pairs, pose1, features1):
         """Triangulate untriangulated matches, deduplicating keypoints in
@@ -405,6 +438,8 @@ class FeatureBasedVO:
         corr_updates = {}
         correspondence1 = {}
 
+        # phase 1: host bookkeeping — which pairs are fresh, per viewpoint
+        fresh_by_v = []
         for v, matches01 in zip(viewpoints, pairs):
             corr0 = self.correspondences[v]
             fresh = []
@@ -422,19 +457,45 @@ class FeatureBasedVO:
                 else:
                     used1.add(int(i1))
                     fresh.append((int(i0), int(i1)))
-            if not fresh:
-                continue
-            fresh = np.asarray(fresh)
+            if fresh:
+                fresh_by_v.append((v, np.asarray(fresh)))
+
+        # phase 2: dispatch every viewpoint's triangulation, then pack all
+        # device results into ONE array and fetch once (each separate
+        # fetch is a full tunnel round trip)
+        pending = []
+        for v, fresh in fresh_by_v:
             kp0 = self._kp_np[v][fresh[:, 0]]
             kp1 = self._current_kp_np[fresh[:, 1]]
-            points, mask = _triangulate(self.poses[v], pose1, kp0, kp1)
-            ids = self._new_point_ids(int(mask.sum()))
-            upd0 = {}
-            for pid, (i0, i1), pt in zip(ids, fresh[mask], points[mask]):
-                new_points[pid] = pt
-                upd0[int(i0)] = pid
-                correspondence1[int(i1)] = pid
-            corr_updates[v] = upd0
+            n = len(kp0)
+            cap = pow2_cap(n)
+            kp0_p = pad_rows(np.asarray(kp0, np.float32), cap, 0.0)
+            kp1_p = pad_rows(np.asarray(kp1, np.float32), cap, 1e-3)
+            points_dev, depths_dev = two_view_triangulation(
+                self.poses[v], pose1, jnp.asarray(kp0_p),
+                jnp.asarray(kp1_p))
+            pending.append((v, fresh, n, cap, points_dev, depths_dev))
+
+        if pending:
+            flat = jnp.concatenate(
+                [jnp.concatenate([p.ravel(), d.ravel()])
+                 for _, _, _, _, p, d in pending])
+            flat_np = np.asarray(flat)
+            off = 0
+            for v, fresh, n, cap, _, _ in pending:
+                points = flat_np[off:off + 3 * cap].reshape(cap, 3)[:n]
+                off += 3 * cap
+                depths = flat_np[off:off + 2 * cap].reshape(2, cap)[:, :n]
+                off += 2 * cap
+                mask = np.all(depths > 0.0, axis=0)
+                ids = self._new_point_ids(int(mask.sum()))
+                upd0 = {}
+                for pid, (i0, i1), pt in zip(ids, fresh[mask],
+                                             points[mask]):
+                    new_points[pid] = pt
+                    upd0[int(i0)] = pid
+                    correspondence1[int(i1)] = pid
+                corr_updates[v] = upd0
 
         return pose1, new_points, corr_updates, correspondence1
 
