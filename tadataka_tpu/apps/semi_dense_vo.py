@@ -71,9 +71,17 @@ class SemiDenseVOState(NamedTuple):
 # instances (a per-instance closure would re-trace the whole pipeline for
 # every new VO object — seconds per frame on short clips).
 
+@jax.jit
+def _to_gray_f32(image_u8):
+    """uint8 [0, 255] -> f32 [0, 1] on device (images ride the tunnel
+    as uint8: 4x less host->device traffic per frame)."""
+    return image_u8.astype(jnp.float32) / 255.0
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def _track_fn(cm, cam, I0, D0, V0, age0, I1, R_prev, t_prev, *, cfg):
+def _track_fn(cm, cam, I0, D0, V0, age0, I1_u8, R_prev, t_prev, *, cfg):
     n_levels, budget, dd, dv, bias = cfg
+    I1 = I1_u8.astype(jnp.float32) / 255.0
     weights = safe_invert(V0)
     R10, t10 = estimate_pose_pyramid(
         cm, cm, I0, D0, I1, weights,
@@ -84,16 +92,18 @@ def _track_fn(cm, cam, I0, D0, V0, age0, I1, R_prev, t_prev, *, cfg):
     T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
     age1 = increment_age(age0, cam, cam, T10, D0)
     d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
-    return T10, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
+    return I1, T10, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _age_propagate_fn(cam, T10, D0, V0, age0, R_prev, t_prev, *, cfg):
+def _age_propagate_fn(cam, I1_u8, T10, D0, V0, age0, R_prev, t_prev,
+                      *, cfg):
     dd, dv, bias = cfg
+    I1 = I1_u8.astype(jnp.float32) / 255.0
     T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
     age1 = increment_age(age0, cam, cam, T10, D0)
     d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
-    return T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
+    return I1, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
 
 
 @partial(jax.jit, static_argnames=("plan", "cfg"))
@@ -248,30 +258,39 @@ class SemiDenseVO:
     def estimate(self, frame):
         """Process a frame (Frame or raw image).  Returns the state."""
         image = frame.image if hasattr(frame, "image") else frame
-        image = jnp.asarray(rgb2gray(np.asarray(image)), dtype=jnp.float32)
+        gray = rgb2gray(np.asarray(image))
+        image_u8 = jnp.asarray(
+            np.clip(np.round(np.asarray(gray) * 255.0), 0, 255)
+            .astype(np.uint8))
 
         if self.state is None:
-            return self._initialize(image)
+            return self._initialize(image_u8)
 
         prev = self.state
         self._advance_pose_chain()
 
         # 1-2. pose tracking + age/hypothesis propagation (one program)
         if len(self.refframes) == 1 and self.initial_pose_fn is not None:
-            pose10 = self.initial_pose_fn(self._prev_image, image)
+            # user bootstrap callbacks get [0, 1] float images (only the
+            # bootstrap frame pays this extra cast dispatch)
+            pose10 = self.initial_pose_fn(self._prev_image,
+                                          _to_gray_f32(image_u8))
             T10_host = np.asarray(pose10.T, np.float64)
             T10 = jnp.asarray(T10_host, jnp.float32)
-            T_wk, R_wk, t_wk, age1, depth1, variance1 = self._age_propagate(
-                T10, prev.depth_map, prev.variance_map, prev.age_map,
-                prev.pose_wc.R, prev.pose_wc.t)
+            image, T_wk, R_wk, t_wk, age1, depth1, variance1 = \
+                self._age_propagate(
+                    image_u8, T10, prev.depth_map, prev.variance_map,
+                    prev.age_map, prev.pose_wc.R, prev.pose_wc.t)
             self._T10_host = T10_host
             self._pose_wc_host = (
                 self._pose_wc_host @ np.linalg.inv(T10_host))
             push_T_host = self._pose_wc_host           # exact
         else:
-            T10, T_wk, R_wk, t_wk, age1, depth1, variance1 = self._track(
-                self._prev_image, prev.depth_map, prev.variance_map,
-                prev.age_map, image, prev.pose_wc.R, prev.pose_wc.t)
+            image, T10, T_wk, R_wk, t_wk, age1, depth1, variance1 = \
+                self._track(
+                    self._prev_image, prev.depth_map, prev.variance_map,
+                    prev.age_map, image_u8, prev.pose_wc.R,
+                    prev.pose_wc.t)
             self._pending.append((self._frame_id, T10))
             # constant-velocity prediction over the undrained frames;
             # corrected by _advance_pose_chain when the batch lands
@@ -297,7 +316,8 @@ class SemiDenseVO:
         self._prev_image = image
         return self.state
 
-    def _initialize(self, image):
+    def _initialize(self, image_u8):
+        image = _to_gray_f32(image_u8)
         H, W = image.shape
         self._image_shape = (H, W)
         rng = np.random.default_rng(self.seed)

@@ -1,19 +1,24 @@
 """Host-side planner + dispatcher for the semi-dense depth update.
 
 Picks, per (keyframe, refframe-history) geometry, the fastest TPU path
-that is exact for that geometry:
+that is exact for that geometry, in preference order:
 
-  rect    — rectified disparity sweep (sweep_rect.py).  Chosen when every
-            pair's rectifying rotation fits the shift-warp displacement
-            budget — big LATERAL baselines (stereo pairs); the per-plane
-            warp degenerates to a constant 1-px shift, and the whole
-            epipolar search is gather-free.
   tent    — homography plane sweep with tent shift-sum warps (sweep.py::
-            warp_plane_stack_tent).  Chosen when per-plane parallax is
-            small — consecutive VO frames with ANY motion direction
-            (including forward, where rectification is impossible).
+            warp_plane_stack_tent), per-refframe budgets/plane counts.
+            Preferred whenever every refframe's warp fits the budget
+            cap: it measures everything on the key grid (no cross-grid
+            interpolation of priors or results) and handles ANY motion
+            direction, including forward.
+  rect    — rectified disparity sweep (sweep_rect.py).  Chosen when the
+            tent budget is exceeded but every pair's rectifying rotation
+            fits the shift-warp budget — big LATERAL baselines (stereo
+            pairs); the per-plane warp degenerates to a constant 1-px
+            shift, so cost stays flat however wide the baseline.
+  tent+redirect — tent with over-budget refframes redirected to the
+            nearest feasible one (slightly different baseline beats
+            falling off the fast path).
   scatter — the general vmapped estimator (estimator.py::update_depth).
-            Always correct; the fallback for big non-lateral baselines.
+            Always correct; the fallback of last resort.
 
 All plan quantities (plane counts, shift budgets, baseline signs) are
 STATIC jit arguments, derived on the host from the 4x4 poses (tiny

@@ -548,27 +548,30 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     kgrad_post = key_grad_map.ravel() * gate_scale
     ks_post = geo.key_step_size
 
-    # per-refframe sweep + SSD search + subpixel refinement at that
-    # refframe's own plane spacing; select per pixel by its age index
-    q_star_map = jnp.zeros((H, W), f32)
-    no_match_map = jnp.ones((H, W), bool)
+    # Per-refframe plane-stack warps, merged into ONE hybrid volume by
+    # each pixel's age-selected refframe, then a SINGLE SSD search with
+    # per-pixel window bounds/spacing — the search cost no longer scales
+    # with the history length (only the warps do, and they are sized
+    # per-refframe by the planner).
+    #
+    # Plane-grid semantics per refframe r: the 5-sample template window
+    # needs half_w planes on BOTH sides of a hypothesis, so the grid
+    # extends half_w planes past the valid range at each end (clamped
+    # positive) — otherwise priors within 2 planes of either end of
+    # [q0, q1] could never match and silently degraded to no-match as
+    # their variance tightened.  Window m is centered on q0 + m*dq_r.
     lo_map = lo.reshape(H, W)
     hi_map = hi.reshape(H, W)
     ridx_map = ridx.reshape(H, W)
+    S_max = max(S_all[r] for r in active)
+    dq_table = [0.0] * R_frames
+    V_sel = jnp.full((S_max, H, W), -1.0, f32)
     for r in active:
         S_r = S_all[r]
-        # The 5-sample template window needs half_w planes on BOTH sides
-        # of a hypothesis, so the grid extends half_w planes past the
-        # valid range at each end (clamped positive) — otherwise priors
-        # within 2 planes of either end of [q0, q1] can never match and
-        # silently degrade to no-match as their variance tightens.
-        # Window m is centered on inverse depth q0 + m*dq.
         dq = (q1 - q0) / (S_r - 2 * half_w - 1)
+        dq_table[r] = dq
         qs = q0 + dq * (jnp.arange(S_r, dtype=f32) - half_w)
         qs = jnp.maximum(qs, jnp.asarray(EPSILON, f32))
-        tol = 0.5 * dq
-        mlo = jnp.ceil((lo_map - tol - q0) / dq)
-        mhi = jnp.floor((hi_map + tol - q0) / dq)
         if sharded:
             def one(_, q):
                 H_q = plane_homography(
@@ -590,24 +593,35 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
                                  keyframe.focal_length, keyframe.offset,
                                  refframes.focal_length[r],
                                  refframes.offset[r])
-        bm, ec, ep, en = ssd_search(V, K_stack, mlo, mhi,
-                                    use_pallas=use_pallas)
+        if S_r < S_max:
+            V = jnp.pad(V, [(0, S_max - S_r), (0, 0), (0, 0)],
+                        constant_values=-1.0)
+        V_sel = jnp.where(ridx_map[None] == r, V, V_sel)
 
-        # parabolic subpixel refinement in inverse-depth units
-        denom = ep - 2.0 * ec + en
-        ok = (ep < _INF) & (en < _INF) & (jnp.abs(denom) > EPSILON)
-        delta = jnp.where(ok,
-                          jnp.clip(0.5 * (ep - en) / jnp.where(
-                              ok, denom, 1.0), -0.5, 0.5),
-                          0.0)
-        q_star_r = q0 + (bm.astype(f32) + delta) * dq
+    # select chain, not a table gather (small-table gathers along N cost
+    # ~14 ns/element on TPU)
+    dq_sel = jnp.zeros((N,), f32)
+    for r in active:
+        dq_sel = jnp.where(ridx == r, jnp.asarray(dq_table[r], f32),
+                           dq_sel)
+    dq_sel = dq_sel.reshape(H, W)
+    tol = 0.5 * dq_sel
+    mlo = jnp.ceil((lo_map - tol - q0) / dq_sel)
+    mhi = jnp.floor((hi_map + tol - q0) / dq_sel)
+    bm, ec, ep, en = ssd_search(V_sel, K_stack, mlo, mhi,
+                                use_pallas=use_pallas)
 
-        sel = ridx_map == r
-        q_star_map = jnp.where(sel, q_star_r, q_star_map)
-        no_match_map = jnp.where(sel, bm < 0, no_match_map)
+    # parabolic subpixel refinement in inverse-depth units
+    denom = ep - 2.0 * ec + en
+    ok = (ep < _INF) & (en < _INF) & (jnp.abs(denom) > EPSILON)
+    delta = jnp.where(ok,
+                      jnp.clip(0.5 * (ep - en) / jnp.where(
+                          ok, denom, 1.0), -0.5, 0.5),
+                      0.0)
+    q_star_map = q0 + (bm.astype(f32) + delta) * dq_sel
 
     q_star = jnp.clip(q_star_map.ravel(), lo, hi)
-    no_match = no_match_map.ravel()
+    no_match = (bm < 0).ravel()
 
     # stage C: depth / variance / flags per pixel (semi_dense.rs:105-158)
     depth, variance, flags = jax.vmap(
