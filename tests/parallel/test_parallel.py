@@ -323,3 +323,31 @@ def test_sharded_sweep_no_collectives_in_update(rng):
     for coll in ("all-reduce", "all-gather", "all-to-all",
                  "reduce-scatter"):
         assert coll not in text_r, coll
+
+
+def test_multihost_scaffold_single_process():
+    """Single-process degenerate path of the multi-host launcher: no-op
+    init, (1, n_local) mesh with the fast axis on local devices, and the
+    distributed BA running over its intra-host axis."""
+    from tadataka_tpu.parallel.multihost import (
+        initialize_distributed, make_host_mesh, local_slice)
+
+    pid, n = initialize_distributed()
+    assert (pid, n) == (0, 1)
+
+    mesh = make_host_mesh()
+    assert mesh.axis_names == ("host", "shard")
+    assert mesh.shape["host"] == 1
+    assert mesh.shape["shard"] == len(jax.devices())
+
+    start, length = local_slice(mesh, 32)
+    assert (start, length) == (0, 32)
+
+    # the intra-host submesh drives the existing distributed BA
+    sub = jax.sharding.Mesh(np.asarray(jax.devices()), ("shard",))
+    rng = np.random.default_rng(7)
+    poses, points, vi, pi_, x_true = _make_scene(rng)
+    new_poses, new_points, err = distributed_lm_solve(
+        sub, poses, points + rng.normal(0, 0.02, points.shape)
+        .astype(np.float32), vi, pi_, x_true, max_iter=10)
+    assert float(err) < 1e-4
