@@ -99,9 +99,49 @@ def ba_case(n_devices, n_points=10240, n_viewpoints=8, obs_per_point=3):
         mesh, poses_n, points_n, vi, pi_, x_true, max_iter=5))
 
 
+def sweep_case(n_devices, H=240, W=320):
+    """The r4 production path: column-sharded planned tent sweep + halo
+    regularization (zero collectives in the sweep; one ppermute)."""
+    from tadataka_tpu.core.pose import Pose
+    from tadataka_tpu.camera import CameraParameters
+    from tadataka_tpu.dataset.synthetic import multi_plane_scene
+    from tadataka_tpu.parallel.mesh import make_mesh
+    from tadataka_tpu.parallel.sharded_semi_dense import (
+        make_sharded_update_sweep)
+    from tadataka_tpu.vo.semi_dense import SemiDenseParams, make_frame
+    from tadataka_tpu.vo.semi_dense.fast import plan_update
+    from tadataka_tpu.vo.semi_dense.frame import stack_frames
+
+    FOCAL = (200.0, 200.0)
+    poses = [Pose.identity(),
+             Pose.from_rotvec(jnp.asarray([0.0, 0.004, 0.0]),
+                              jnp.asarray([0.25, 0.02, 0.03]))]
+    ds = multi_plane_scene(n_frames=2, image_shape=(H, W),
+                           focal_length=FOCAL, poses=poses)
+    key, ref = ds[0], ds[1]
+    cam = CameraParameters.create(FOCAL, (W / 2, H / 2))
+    kf = make_frame(cam, key.image, key.pose.T)
+    refs = stack_frames([make_frame(cam, ref.image, ref.pose.T)])
+    params = SemiDenseParams.create(2.0, 50.0, ref_step_size=0.002,
+                                    min_gradient=0.01)
+    rng = np.random.default_rng(0)
+    gt = np.asarray(key.depth_map)
+    prior = jnp.asarray(gt + rng.uniform(-1, 1, gt.shape).astype(np.float32))
+    var = 0.05 * jnp.ones((H, W))
+    age = jnp.ones((H, W), dtype=jnp.int32)
+
+    plan = plan_update(kf, refs, params)
+    assert plan.path == 'tent', plan
+    mesh = make_mesh(jax.devices()[:n_devices])
+    f = make_sharded_update_sweep(mesh, (H, W), plan, regularize=True,
+                                  use_pallas=False)
+    return _time(lambda: f(kf, refs, age, prior, var, params))
+
+
 def main():
     out = {"n_host_cores": os.cpu_count(), "reps": REPS, "cases": {}}
     for name, case in [("semi_dense_240x320", semi_dense_case),
+                       ("sweep_fast_240x320", sweep_case),
                        ("distributed_ba_10k", ba_case)]:
         t1 = case(1)
         t8 = case(8)
