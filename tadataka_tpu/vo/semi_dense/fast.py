@@ -175,11 +175,11 @@ def plan_update_np(key_T, key_f, key_c, image_shape,
     # the nearest feasible one instead of dragging the whole history onto
     # the scattered path.
     q_mid = 0.5 * (q0 + q1)
-    budgets = []          # per-refframe bucketed budget, None = infeasible
+    budgets = []   # per-refframe (far-half, near-half) bucketed budgets
     planes = []
     for r in range(n_refs):
         T_rk = np.linalg.inv(R_T[r]) @ key_T
-        d_max = 0.0
+        d_by_q = {}
         Hs = {}
         feasible = True
         for q in (q0, q_mid, q1):
@@ -188,18 +188,26 @@ def plan_update_np(key_T, key_f, key_c, image_shape,
             if not np.isfinite(dx) or not np.isfinite(dy):
                 feasible = False
                 break
-            d_max = max(d_max, dx, dy)
+            d_by_q[q] = max(dx, dy)
             Hs[q] = H_q
         span = 8.0
         if feasible:
             span = _np_homography_span(Hs[q0], Hs[q1], image_shape)
             feasible = np.isfinite(span)
-        b = _bucket_budget(d_max + 1.0) if feasible else None
-        if b is None or b > TENT_BUDGET_MAX:
+        if feasible:
+            # displacement grows with inverse depth (parallax ~ q plus a
+            # rotation floor), so the FAR half of the plane grid gets its
+            # own, smaller tent budget — roughly halves the warp cost of
+            # wide-baseline refframes at identical results
+            b_far = _bucket_budget(max(d_by_q[q0], d_by_q[q_mid]) + 1.0)
+            b_near = _bucket_budget(max(d_by_q.values()) + 1.0)
+        else:
+            b_far = b_near = None
+        if b_near is None or b_near > TENT_BUDGET_MAX:
             budgets.append(None)
             planes.append(0)
         else:
-            budgets.append(b)
+            budgets.append((b_far, b_near))
             # ~1-px plane spacing along this refframe's epipolar track,
             # plus the 2*half_w template-window grid extension
             planes.append(_bucket_planes(max(span, 8.0) + 10, cap=128))

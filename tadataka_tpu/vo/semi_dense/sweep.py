@@ -387,9 +387,21 @@ def _per_ref_tuple(value, R_frames):
     """Broadcast an int to a per-refframe tuple; validate tuples."""
     if isinstance(value, int):
         return (value,) * R_frames
-    value = tuple(int(v) for v in value)
+    value = tuple(value)
     assert len(value) == R_frames, (value, R_frames)
     return value
+
+
+def _budget_segments(b):
+    """Normalize a per-refframe warp budget to ((b_far, b_near)): an int
+    means one budget for the whole plane grid; a (far, near) pair gives
+    the far (low inverse depth) half of the grid its own, usually
+    smaller, tent budget (displacement grows with inverse depth)."""
+    if isinstance(b, int):
+        return (b, b)
+    b = tuple(int(x) for x in b)
+    assert len(b) == 2, b
+    return b
 
 
 @partial(jax.jit, static_argnames=("n_planes", "use_pallas", "warp_budget",
@@ -439,9 +451,11 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     B_all = _per_ref_tuple(warp_budget, R_frames)
     if redirect is None:
         redirect = tuple(range(R_frames))
+    B_all = tuple(_budget_segments(b) if b != 0 else (0, 0)
+                  for b in B_all)
     sharded = col_offset is not None
     if sharded:
-        assert min(B_all) > 0 and key_budget > 0, (
+        assert min(min(b) for b in B_all) > 0 and key_budget > 0, (
             "column-sharded sweep requires the tent warp path")
         col_offset = jnp.asarray(col_offset, jnp.int32)
 
@@ -572,22 +586,36 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
         dq_table[r] = dq
         qs = q0 + dq * (jnp.arange(S_r, dtype=f32) - half_w)
         qs = jnp.maximum(qs, jnp.asarray(EPSILON, f32))
+        # split the plane grid at its midpoint: the far (low-q) half
+        # uses its own, usually smaller, tent budget
+        b_far, b_near = B_all[r]
+        if b_far == b_near:
+            seg = [(qs, b_near)]
+        else:
+            k = S_r // 2
+            seg = [(qs[:k], b_far), (qs[k:], b_near)]
         if sharded:
-            def one(_, q):
-                H_q = plane_homography(
-                    T_rk_all[r], q, keyframe.focal_length, keyframe.offset,
-                    refframes.focal_length[r], refframes.offset[r])
-                warped, _ = rot_warp_cols_block(
-                    refframes.image[r], H_q, B_all[r], B_all[r],
-                    col_offset, W, fill=-1.0)
-                return None, warped
-            _, V = jax.lax.scan(one, None, qs)
-        elif B_all[r] > 0:
-            V = warp_plane_stack_tent(
-                refframes.image[r], T_rk_all[r], qs,
+            parts = []
+            for qs_s, b_s in seg:
+                def one(_, q, b_s=b_s):
+                    H_q = plane_homography(
+                        T_rk_all[r], q, keyframe.focal_length,
+                        keyframe.offset, refframes.focal_length[r],
+                        refframes.offset[r])
+                    warped, _ = rot_warp_cols_block(
+                        refframes.image[r], H_q, b_s, b_s,
+                        col_offset, W, fill=-1.0)
+                    return None, warped
+                _, V_s = jax.lax.scan(one, None, qs_s)
+                parts.append(V_s)
+            V = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        elif b_near > 0:
+            parts = [warp_plane_stack_tent(
+                refframes.image[r], T_rk_all[r], qs_s,
                 keyframe.focal_length, keyframe.offset,
-                refframes.focal_length[r], refframes.offset[r],
-                B_all[r])
+                refframes.focal_length[r], refframes.offset[r], b_s)
+                for qs_s, b_s in seg]
+            V = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         else:
             V = warp_plane_stack(refframes.image[r], T_rk_all[r], qs,
                                  keyframe.focal_length, keyframe.offset,
