@@ -329,7 +329,15 @@ def roofline_extras(H, W, plan, fps_update, fps_dvo):
     out = {}
     if plan.path == 'tent':
         S = sum(plan.n_planes)
-        taps = sum(s * 2 * (2 * b + 1)
+
+        def _taps(s, b):
+            # b: one budget (int) or (far-half, near-half) segment pair
+            if isinstance(b, int):
+                return s * 2 * (2 * b + 1)
+            return ((s // 2) * 2 * (2 * b[0] + 1)
+                    + (s - s // 2) * 2 * (2 * b[1] + 1))
+
+        taps = sum(_taps(s, b)
                    for s, b in zip(plan.n_planes, plan.warp_budget))
         t_meas = 1.0 / fps_update
         flops = taps * 3.0 * N                    # mul+add+weight per tap
