@@ -25,6 +25,12 @@ class NoDistortion(NamedTuple):
     def undistort(self, x):
         return x
 
+    def distort_xy(self, u, v):
+        return u, v
+
+    def undistort_xy(self, u, v):
+        return u, v
+
     @property
     def params(self):
         return []
@@ -66,6 +72,34 @@ class FOV(NamedTuple):
             jnp.tan(safe_r * omega) / (2.0 * safe_r * tan_half))
         factor = jnp.where(self._should_bypass(), 1.0, factor)
         return factor[..., None] * x
+
+    def distort_xy(self, u, v):
+        """Componentwise distort (no (N, 2) minor-dim tensors — see
+        CameraParameters.normalize_xy)."""
+        omega = self.omega
+        r = jnp.sqrt(u * u + v * v)
+        tan_half = jnp.tan(omega / 2.0)
+        small_r = jnp.abs(r) < _R_EPS
+        safe_r = jnp.where(small_r, 1.0, r)
+        factor = jnp.where(
+            small_r,
+            2.0 * tan_half / omega,
+            jnp.arctan(2.0 * safe_r * tan_half) / (omega * safe_r))
+        factor = jnp.where(self._should_bypass(), 1.0, factor)
+        return factor * u, factor * v
+
+    def undistort_xy(self, u, v):
+        omega = self.omega
+        r = jnp.sqrt(u * u + v * v)
+        tan_half = jnp.tan(omega / 2.0)
+        small_r = jnp.abs(r) < _R_EPS
+        safe_r = jnp.where(small_r, 1.0, r)
+        factor = jnp.where(
+            small_r,
+            omega / (2.0 * tan_half),
+            jnp.tan(safe_r * omega) / (2.0 * safe_r * tan_half))
+        factor = jnp.where(self._should_bypass(), 1.0, factor)
+        return factor * u, factor * v
 
     @classmethod
     def from_params(cls, params):

@@ -44,3 +44,15 @@ class CameraParameters(NamedTuple):
 
     def unnormalize(self, keypoints):
         return keypoints * self.focal_length + self.offset
+
+    # Componentwise forms: separate x / y arrays of any (matching) shape.
+    # On TPU a packed (N, 2) coordinate tensor tiles its minor dim to 128
+    # lanes (64x pad); hot paths (DVO, plane sweep) carry components.
+
+    def normalize_xy(self, ux, uy):
+        return ((ux - self.offset[0]) / self.focal_length[0],
+                (uy - self.offset[1]) / self.focal_length[1])
+
+    def unnormalize_xy(self, xn, yn):
+        return (xn * self.focal_length[0] + self.offset[0],
+                yn * self.focal_length[1] + self.offset[1])

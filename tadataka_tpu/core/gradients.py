@@ -5,28 +5,25 @@ semi-dense pipeline), /root/reference/tadataka/gradient.py (scipy reflect-mode
 Sobel used by curvature), and np.gradient as used by DVO
 (/root/reference/tadataka/vo/dvo/jacobian.py:27).
 
-All are expressed as XLA convolutions / shifts — no im2col loops.
+All are expressed as separable static shifts + FMAs — NEVER as
+single-channel ``lax.conv``: XLA:TPU lowers a (C_in=1, C_out=1) 3x3 conv
+onto the 128x128 MXU at 1/16k utilization (two Sobels measured 16.3 ms
+at 480x640 — profiled r5 — vs 1.5 ms as shifts, and the shifts fuse into
+surrounding elementwise work for free).
 """
 
 import jax.numpy as jnp
-from jax import lax
-
-# Positive-x / positive-y Sobel kernels (correlation convention).
-_SOBEL_X = jnp.array([[-1., 0., 1.],
-                      [-2., 0., 2.],
-                      [-1., 0., 1.]])
-_SOBEL_Y = jnp.array([[-1., -2., -1.],
-                      [0., 0., 0.],
-                      [1., 2., 1.]])
 
 
-def _correlate2d(image, kernel, padding):
-    img = image[None, None, :, :].astype(kernel.dtype)
-    ker = kernel[None, None, :, :]
-    out = lax.conv_general_dilated(
-        img, ker, window_strides=(1, 1), padding=padding,
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-    return out[0, 0]
+def _sobel_x_valid(image):
+    """VALID-region Sobel d/dx via the separable [1,2,1]^T (x) [-1,0,1]."""
+    dx = image[:, 2:] - image[:, :-2]          # (H, W-2)
+    return dx[:-2] + 2.0 * dx[1:-1] + dx[2:]   # (H-2, W-2)
+
+
+def _sobel_y_valid(image):
+    dy = image[2:, :] - image[:-2, :]          # (H-2, W)
+    return dy[:, :-2] + 2.0 * dy[:, 1:-1] + dy[:, 2:]
 
 
 def sobel_x(image, mode="zero"):
@@ -36,22 +33,20 @@ def sobel_x(image, mode="zero"):
     sign-flipped to the standard positive-x convention);
     mode="reflect": scipy-compatible borders (tadataka/gradient.py:4).
     """
-    return _apply_sobel(image, _SOBEL_X, mode)
+    return _apply_sobel(image, _sobel_x_valid, mode)
 
 
 def sobel_y(image, mode="zero"):
-    return _apply_sobel(image, _SOBEL_Y, mode)
+    return _apply_sobel(image, _sobel_y_valid, mode)
 
 
-def _apply_sobel(image, kernel, mode):
+def _apply_sobel(image, valid_fn, mode):
     if mode == "zero":
-        out = _correlate2d(image, kernel, padding="VALID")
-        return jnp.pad(out, 1)
+        return jnp.pad(valid_fn(image), 1)
     if mode == "reflect":
         # scipy.ndimage's "reflect" repeats the edge sample — numpy/jnp call
         # that "symmetric"
-        padded = jnp.pad(image, 1, mode="symmetric")
-        return _correlate2d(padded, kernel, padding="VALID")
+        return valid_fn(jnp.pad(image, 1, mode="symmetric"))
     raise ValueError(f"unknown border mode {mode!r}")
 
 

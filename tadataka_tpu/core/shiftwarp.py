@@ -291,6 +291,116 @@ def rot_warp(img, H33, max_dx, max_dy, fill=-1.0, eps=1e-6,
     return jnp.where(valid, out, fill), valid
 
 
+def rot_warp_batch(img, H33s, max_dx, max_dy, fill=-1.0, eps=1e-6):
+    """Batched :func:`rot_warp`: S homographies of ONE image in one pass.
+
+    img (H, W), H33s (S, 3, 3) -> (warped (S, H, W), valid (S, H, W)).
+
+    Same math and validity semantics as rot_warp per plane, but the
+    source image is padded ONCE and every tap's shifted slice is shared
+    by all S planes — the per-plane pad/shift fusion overhead that made a
+    lax.scan of single-plane warps overhead-bound (VERDICT r4 item 1b)
+    disappears, and every VPU op runs at (S, H, W) width.
+    """
+    Hi, Wi = img.shape[-2:]
+    f32 = img.dtype
+
+    def c(i, j):
+        return H33s[:, i, j][:, None, None]                 # (S, 1, 1)
+
+    xo = jnp.arange(Wi, dtype=f32)[None, None, :]
+    yo = jnp.arange(Hi, dtype=f32)[None, :, None]
+
+    D = c(2, 0) * xo + c(2, 1) * yo + c(2, 2)
+    U = (c(0, 0) * xo + c(0, 1) * yo + c(0, 2)) / jnp.where(D == 0.0, eps, D)
+    V = (c(1, 0) * xo + c(1, 1) * yo + c(1, 2)) / jnp.where(D == 0.0, eps, D)
+
+    # pass A scanline decomposition (same as rot_warp): on source row y,
+    # place img(a(x', y), y) at column x'
+    denom_a = c(1, 1) - yo * c(2, 1)                        # (S, H, 1)
+    sing_a = jnp.abs(denom_a) < eps
+    denom_a = jnp.where(sing_a, eps, denom_a)
+    y_src = (yo * (c(2, 0) * xo + c(2, 2))
+             - (c(1, 0) * xo + c(1, 2))) / denom_a
+    D_a = c(2, 0) * xo + c(2, 1) * y_src + c(2, 2)
+    a = (c(0, 0) * xo + c(0, 1) * y_src + c(0, 2)) / jnp.where(
+        D_a == 0.0, eps, D_a)
+
+    ca = jnp.clip(a, 0.0, Wi - 1.0)
+    dispA = ca - xo                                         # (S, H, W)
+    okA = jnp.abs(dispA) <= max_dx
+    padded = jnp.pad(img, [(0, 0)] * (img.ndim - 1)
+                     + [(max_dx, max_dx)], mode="edge")
+    tmp = jnp.zeros(dispA.shape, f32)
+    for k in range(-max_dx, max_dx + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(dispA - k))
+        tmp = tmp + w * padded[None, :, k + max_dx:k + max_dx + Wi]
+
+    cV = jnp.clip(V, 0.0, Hi - 1.0)
+    dispB = cV - yo                                         # (S, H, W)
+    okB = jnp.abs(dispB) <= max_dy
+    tpad = jnp.pad(tmp, [(0, 0), (max_dy, max_dy), (0, 0)], mode="edge")
+    out = jnp.zeros(dispA.shape, f32)
+    for k in range(-max_dy, max_dy + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(dispB - k))
+        out = out + w * tpad[:, k + max_dy:k + max_dy + Hi, :]
+
+    valid = ((D > eps)
+             & (U >= 0.0) & (U <= Wi - 1.0)
+             & (V >= 0.0) & (V <= Hi - 1.0)
+             & okB & jnp.logical_not(sing_a) & okA)
+    return jnp.where(valid, out, fill), valid
+
+
+def shift_warp_multi(img, x_maps, y_maps, max_dx, max_dy, with_valid=True):
+    """Batched two-pass tent resample of ONE image at C coordinate maps:
+
+        out[c, y, x] = img(y_maps[c, y, x], x_maps[c, y, x])
+
+    img (H, W), x_maps/y_maps (C, H, W) -> (out (C, H, W), valid).
+    Pads the source once per pass; every tap FMA runs (C, H, W) wide —
+    the batched form of shift_warp_cols + shift_warp_rows used by the
+    key-patch stack (VERDICT r4 item 1b).  With ``with_valid`` the
+    validity matches ``tent_sample`` (pass-A budget warped through
+    pass B); ``with_valid=False`` skips the extra carried channels
+    (~half the pass-B cost) and returns ``valid=None``.
+    """
+    Hi, Wi = img.shape
+    f32 = img.dtype
+    xo = jnp.arange(Wi, dtype=f32)[None, None, :]
+    yo = jnp.arange(Hi, dtype=f32)[None, :, None]
+
+    cx = jnp.clip(x_maps, 0.0, Wi - 1.0)
+    dispA = cx - xo
+    okA = jnp.abs(dispA) <= max_dx
+    padded = jnp.pad(img, [(0, 0), (max_dx, max_dx)], mode="edge")
+    tmp = jnp.zeros(dispA.shape, f32)
+    for k in range(-max_dx, max_dx + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(dispA - k))
+        tmp = tmp + w * padded[None, :, k + max_dx:k + max_dx + Wi]
+
+    cy = jnp.clip(y_maps, 0.0, Hi - 1.0)
+    dispB = cy - yo
+    okB = jnp.abs(dispB) <= max_dy
+    if with_valid:
+        # carry pass-A validity through pass B as an extra channel block
+        carried = jnp.concatenate([tmp, okA.astype(f32)], axis=0)
+        dispB2 = jnp.concatenate([dispB, dispB], axis=0)
+    else:
+        carried = tmp
+        dispB2 = dispB
+    tpad = jnp.pad(carried, [(0, 0), (max_dy, max_dy), (0, 0)], mode="edge")
+    out = jnp.zeros(dispB2.shape, f32)
+    for k in range(-max_dy, max_dy + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(dispB2 - k))
+        out = out + w * tpad[:, k + max_dy:k + max_dy + Hi, :]
+    if not with_valid:
+        return out, None
+    C = x_maps.shape[0]
+    valid = okB & (out[C:] > 0.999)
+    return out[:C], valid
+
+
 def const_shift_cols(img, shift, fill=-1.0):
     """Bilinear resample at a single *traced* column shift:
     out[..., y, x] = img[..., y, x + shift]; positions falling outside

@@ -143,11 +143,12 @@ def _regularize_halo(depth_map, variance_map, flag_map, axis):
         return jnp.concatenate([left, x, right], axis=1)
 
     def box3_rows(x):
-        k = jnp.ones((1, 1, 3, 3), dtype=x.dtype)
-        out = lax.conv_general_dilated(
-            x[None, None], k, (1, 1), [(1, 1), (0, 0)],
-            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-        return out[0, 0]
+        # 3x3 box sum, rows zero-padded, columns VALID (the 3-column
+        # halo extension supplies the column taps) — separable shifts,
+        # not a single-channel conv (see core/gradients.py)
+        h = x[:, :-2] + x[:, 1:-1] + x[:, 2:]
+        p = jnp.pad(h, ((1, 1), (0, 0)))
+        return p[:-2] + p[1:-1] + p[2:]
 
     numerator = box3_rows(extend(num_in))
     denominator = box3_rows(extend(den_in))

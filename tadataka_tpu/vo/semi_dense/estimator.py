@@ -346,6 +346,108 @@ def _pixel_geometry(u_key, prior_inv_depth, prior_variance, T_rk, e_key,
         flag_far_oob=flag_far_oob)
 
 
+def pixel_geometry_map(us_x, us_y, prior_inv_depth, prior_variance, T_rk,
+                       e_key, key_focal, key_offset, key_shape,
+                       ref_focal, ref_offset, ref_shape,
+                       params: SemiDenseParams, n_ref_samples: int):
+    """Whole-map componentwise :func:`_pixel_geometry` for ONE refframe.
+
+    Same math, but written as plain (N,)-array component code instead of
+    a per-pixel vmap: vmapping the scalar form turns every internal
+    2/3-vector (``jnp.array([...])``, ``jnp.linalg.norm``) into an
+    (N, 2)/(N, 3) tensor whose minor dim the TPU tiles to 128 lanes —
+    a 42-64x pad that made stage A + stage C the dominant cost of the
+    plane sweep (profiled r5).  Callers run this once per ACTIVE
+    refframe (T_rk is a single 4x4) and merge by age index.
+    """
+    f32 = us_x.dtype
+
+    lo, hi = clamped_range(prior_inv_depth, prior_variance,
+                           params.min_inv_depth, params.max_inv_depth)
+    min_depth = safe_invert(hi)
+    max_depth = safe_invert(lo)
+
+    xk_x = (us_x - key_offset[0]) / key_focal[0]
+    xk_y = (us_y - key_offset[1]) / key_focal[1]
+
+    R = get_rotation(T_rk)
+    t = get_translation(T_rk)
+    # rows of R applied to the homogeneous key ray (xk_x, xk_y, 1)
+    r0 = R[0, 0] * xk_x + R[0, 1] * xk_y + R[0, 2]
+    r1 = R[1, 0] * xk_x + R[1, 1] * xk_y + R[1, 2]
+    r2 = R[2, 0] * xk_x + R[2, 1] * xk_y + R[2, 2]
+
+    def warp_xy(depth):
+        """x/y of _warp_point(T_rk, x_key, depth), componentwise."""
+        z = depth * r2 + t[2]
+        return ((depth * r0 + t[0]) / (z + EPSILON),
+                (depth * r1 + t[1]) / (z + EPSILON))
+
+    # step ratio: step size on key scales with inverse-depth ratio
+    prior_depth = safe_invert(prior_inv_depth)
+    ref_depth = prior_depth * r2 + t[2]           # _calc_ref_depth
+    flag_neg_ref = ref_depth <= 0.0
+    ratio = prior_inv_depth / safe_invert(jnp.maximum(ref_depth, EPSILON))
+
+    # epipolar segment endpoints on the ref normalized plane
+    xmin_x, xmin_y = warp_xy(min_depth)
+    xmax_x, xmax_y = warp_xy(max_depth)
+    rdx = xmax_x - xmin_x
+    rdy = xmax_y - xmin_y
+    norm = jnp.sqrt(rdx * rdx + rdy * rdy)
+    ref_dir_x = rdx / (norm + EPSILON)
+    ref_dir_y = rdy / (norm + EPSILON)
+
+    # static budget: if the range needs more than n_ref_samples steps,
+    # stretch the step to keep covering the full range (coarser sampling)
+    step = jnp.maximum(params.ref_step_size, norm / (n_ref_samples - 1))
+    n_samples = jnp.floor(norm / step).astype(jnp.int32)
+
+    # key-side patch direction; step size scales with inverse-depth ratio
+    key_step_size = ratio * step
+    dk_x = xk_x - e_key[0]
+    dk_y = xk_y - e_key[1]
+    aligned = rdx * dk_x + rdy * dk_y > 0.0
+    dkn = jnp.sqrt(dk_x * dk_x + dk_y * dk_y)
+    dkz = dkn == 0.0
+    sign = jnp.where(aligned, 1.0, -1.0)
+    key_dir_x = sign * jnp.where(dkz, dk_x, dk_x / jnp.where(dkz, 1.0, dkn))
+    key_dir_y = sign * jnp.where(dkz, dk_y, dk_y / jnp.where(dkz, 1.0, dkn))
+
+    # key patch in-range test via its two ENDPOINTS (+-2 steps)
+    half = jnp.asarray(N_KEY_SAMPLES // 2, f32)
+    e0x = (xk_x - half * key_step_size * key_dir_x) * key_focal[0] \
+        + key_offset[0]
+    e0y = (xk_y - half * key_step_size * key_dir_y) * key_focal[1] \
+        + key_offset[1]
+    e1x = (xk_x + half * key_step_size * key_dir_x) * key_focal[0] \
+        + key_offset[0]
+    e1y = (xk_y + half * key_step_size * key_dir_y) * key_focal[1] \
+        + key_offset[1]
+    flag_key_oob = jnp.logical_not(_in_image_xy(e0x, e0y, key_shape)
+                                   & _in_image_xy(e1x, e1y, key_shape))
+
+    flag_too_short = n_samples < N_KEY_SAMPLES
+    un_x = xmin_x * ref_focal[0] + ref_offset[0]
+    un_y = xmin_y * ref_focal[1] + ref_offset[1]
+    nsf = n_samples.astype(f32) - 1.0
+    uf_x = (xmin_x + nsf * step * ref_dir_x) * ref_focal[0] + ref_offset[0]
+    uf_y = (xmin_y + nsf * step * ref_dir_y) * ref_focal[1] + ref_offset[1]
+    flag_close_oob = jnp.logical_not(_in_image_xy(un_x, un_y, ref_shape))
+    flag_far_oob = jnp.logical_not(_in_image_xy(uf_x, uf_y, ref_shape))
+
+    return PixelGeoScalars(
+        x_key_x=xk_x, x_key_y=xk_y,
+        x_min_ref_x=xmin_x, x_min_ref_y=xmin_y,
+        ref_dir_x=ref_dir_x, ref_dir_y=ref_dir_y,
+        key_dir_x=key_dir_x, key_dir_y=key_dir_y,
+        step=step, key_step_size=key_step_size, n_samples=n_samples,
+        min_depth=min_depth, max_depth=max_depth,
+        flag_neg_ref=flag_neg_ref, flag_key_oob=flag_key_oob,
+        flag_too_short=flag_too_short, flag_close_oob=flag_close_oob,
+        flag_far_oob=flag_far_oob)
+
+
 def _pixel_estimate(geo: PixelGeoScalars, key_intensities, ref_intensities,
                     grad, prior_inv_depth, prior_variance, T_rk,
                     params: SemiDenseParams):

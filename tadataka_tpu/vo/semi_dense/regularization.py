@@ -7,18 +7,19 @@ convolutions it is nearly free on TPU).
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from tadataka_tpu.flags import Flag
 from tadataka_tpu.vo.semi_dense.estimator import safe_invert
 
 
 def _box3(x):
-    k = jnp.ones((1, 1, 3, 3), dtype=x.dtype)
-    out = lax.conv_general_dilated(
-        x[None, None], k, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-    return out[0, 0]
+    """SAME zero-padded 3x3 box sum as separable shifts + adds (a
+    single-channel lax.conv runs the MXU at 1/16k utilization — see
+    core/gradients.py)."""
+    p = jnp.pad(x, ((0, 0), (1, 1)))
+    h = p[:, :-2] + p[:, 1:-1] + p[:, 2:]
+    p2 = jnp.pad(h, ((1, 1), (0, 0)))
+    return p2[:-2] + p2[1:-1] + p2[2:]
 
 
 @jax.jit

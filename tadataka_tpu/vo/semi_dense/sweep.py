@@ -47,11 +47,11 @@ from tadataka_tpu.core.transforms import (
     get_rotation, get_translation, inv_motion_matrix)
 from tadataka_tpu.core.warp2pass import homography_warp, displacement_warp
 from tadataka_tpu.core.shiftwarp import (
-    rot_warp, rot_warp_cols_block, shift_warp_cols,
-    shift_warp_cols_block, shift_warp_rows)
+    rot_warp, rot_warp_batch, rot_warp_cols_block, shift_warp_cols,
+    shift_warp_cols_block, shift_warp_multi, shift_warp_rows)
 from tadataka_tpu.vo.semi_dense.estimator import (
-    EPSILON, safe_invert, _pixel_geometry, _warp_point, _calc_alpha,
-    _geo_var, _photo_var, calc_key_epipole)
+    EPSILON, safe_invert, pixel_geometry_map, _photo_var,
+    calc_key_epipole)
 from tadataka_tpu.vo.semi_dense.hypothesis import (
     clamped_range, check_args_flag)
 from tadataka_tpu.vo.semi_dense.params import SemiDenseParams, N_KEY_SAMPLES
@@ -118,7 +118,19 @@ def warp_plane_stack_tent(ref_image, T_rk, qs, key_focal, key_offset,
     ``out_rows=(y0, n)`` warps only those KEY-grid rows (multi-chip row
     sharding: the ref image replicates, so each device builds its own
     block of the stack with zero collectives).
+
+    The full-image path runs ALL planes in one batched two-pass warp
+    (core/shiftwarp.py::rot_warp_batch): the source pad and every tap's
+    shifted slice are shared across planes, so the per-plane fusion
+    overhead of a lax.scan of single-plane warps disappears.
     """
+    if out_rows is None:
+        H33s = jax.vmap(
+            lambda q: plane_homography(T_rk, q, key_focal, key_offset,
+                                       ref_focal, ref_offset))(qs)
+        stack, _ = rot_warp_batch(ref_image, H33s, budget, budget,
+                                  fill=-1.0)
+        return stack
 
     def one(_, q):
         H_q = plane_homography(T_rk, q, key_focal, key_offset,
@@ -304,6 +316,21 @@ def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
         key_local = jax.lax.dynamic_slice(key_image, (0, x0), (H, w))
     xs = x0 + jnp.broadcast_to(jnp.arange(w, dtype=f32), (H, w))
     ys = jnp.broadcast_to(jnp.arange(H, dtype=f32)[:, None], (H, w))
+    if budget > 0 and col_block is None:
+        # all four offset planes in one batched two-pass warp (shared
+        # source pads / tap slices — VERDICT r4 item 1b)
+        offs = [k for k in range(-half, half + 1) if k != 0]
+        x_maps = jnp.stack(
+            [xs + k * step_size_map * dir_x_map * key_focal[0]
+             for k in offs])
+        y_maps = jnp.stack(
+            [ys + k * step_size_map * dir_y_map * key_focal[1]
+             for k in offs])
+        warped, _ = shift_warp_multi(key_image, x_maps, y_maps,
+                                     budget, budget, with_valid=False)
+        planes = [warped[i] for i in range(len(offs))]
+        planes.insert(half, key_local)
+        return jnp.stack(planes)
     planes = []
     for k in range(-half, half + 1):
         if k == 0:
@@ -312,11 +339,8 @@ def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
         dx = k * step_size_map * dir_x_map * key_focal[0]
         dy = k * step_size_map * dir_y_map * key_focal[1]
         if budget > 0:
-            if col_block is None:
-                tmp, _ = shift_warp_cols(key_image, xs + dx, budget)
-            else:
-                tmp, _ = shift_warp_cols_block(key_image, xs + dx,
-                                               budget, x0, w)
+            tmp, _ = shift_warp_cols_block(key_image, xs + dx,
+                                           budget, x0, w)
             warped, _ = shift_warp_rows(tmp, ys + dy, budget)
         else:
             warped, _ = displacement_warp(key_image, dx, dy)
@@ -326,24 +350,71 @@ def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
 
 # ----------------------------------------------------- shared postprocess
 
-def postprocess_pixel(u, q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
-                      p_var, T16, a, *, params):
-    """Stage C shared by the plane-sweep estimators: per-pixel depth /
-    variance / flag from the matched inverse depth ``q_m``
-    (semi_dense.rs:105-158).  ``g`` is the pixel's PixelGeoScalars, ``ks``
-    the key-side sample spacing in normalized units, ``a`` the pixel age.
-    Vmappable; returns (depth, variance, flag)."""
-    T_rk = T16.reshape(4, 4)
-    x_key = jnp.stack([g.x_key_x, g.x_key_y])
+def postprocess_map(q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
+                    p_var, T_rk, age, *, params):
+    """Stage C shared by the plane-sweep estimators, over the WHOLE map
+    at once: depth / variance / flag arrays from the matched inverse
+    depth ``q_m`` (semi_dense.rs:105-158, variance.rs).
+
+    All array arguments are flat (N,); ``g`` is the PixelGeoScalars tree
+    of (N,) fields; ``T_rk`` is ONE refframe's 4x4 relative transform —
+    callers run this once per active refframe and merge by age index.
+    Plain whole-array code, NOT a per-pixel vmap: the vmapped form built
+    (N, 2)/(N, 3) minor-axis stacks whose (8, 128) tiling pads the tiny
+    trailing dim to 128 lanes, making stage C 8.3 ms of an 11 ms sweep
+    (profiled r5); this form runs it in ~0.3 ms.
+    """
+    R = get_rotation(T_rk)
+    t = get_translation(T_rk)
+    xk_x, xk_y = g.x_key_x, g.x_key_y
+
+    # rows of R applied to the homogeneous key ray (xk_x, xk_y, 1)
+    r0 = R[0, 0] * xk_x + R[0, 1] * xk_y + R[0, 2]
+    r1 = R[1, 0] * xk_x + R[1, 1] * xk_y + R[1, 2]
+    r2 = R[2, 0] * xk_x + R[2, 1] * xk_y + R[2, 2]
+
+    def warp_xy(depth):
+        """x/y of _warp_point(T_rk, x_key, depth), componentwise."""
+        z = depth * r2 + t[2]
+        return ((depth * r0 + t[0]) / (z + EPSILON),
+                (depth * r1 + t[1]) / (z + EPSILON))
 
     flag_insufficient = kgrad < params.min_gradient
     key_depth = safe_invert(q_m)
     new_inv_depth = q_m
 
-    alpha = _calc_alpha(T_rk, x_key, (g.min_depth, g.max_depth),
-                        key_depth)
-    t_rk = get_translation(T_rk)
-    geo_v = _geo_var(x_key, t_rk, jnp.stack([gx_v, gy_v]))
+    # _calc_alpha (variance.rs:54-103), componentwise
+    xmin_x, xmin_y = warp_xy(g.min_depth)
+    xmax_x, xmax_y = warp_xy(g.max_depth)
+    ddx = xmax_x - xmin_x
+    ddy = xmax_y - xmin_y
+    dn = jnp.sqrt(ddx * ddx + ddy * ddy)
+    dz = dn == 0.0
+    dirx = jnp.where(dz, ddx, ddx / jnp.where(dz, 1.0, dn))
+    diry = jnp.where(dz, ddy, ddy / jnp.where(dz, 1.0, dn))
+    xr_x, xr_y = warp_xy(key_depth)
+    num0 = r2 * t[0] - r0 * t[2]
+    den0 = xr_x * t[2] - t[0]
+    a_x = dirx * num0 / (den0 * den0 + EPSILON)
+    num1 = r2 * t[1] - r1 * t[2]
+    den1 = xr_y * t[2] - t[1]
+    a_y = diry * num1 / (den1 * den1 + EPSILON)
+    alpha = jnp.where(jnp.abs(dirx) > jnp.abs(diry), a_x, a_y)
+
+    # _geo_var (variance.rs:30-52), componentwise
+    ex = xk_x - t[0] / (t[2] + EPSILON)
+    ey = xk_y - t[1] / (t[2] + EPSILON)
+    en_ = jnp.sqrt(ex * ex + ey * ey)
+    ez = en_ == 0.0
+    exn = jnp.where(ez, ex, ex / jnp.where(ez, 1.0, en_))
+    eyn = jnp.where(ez, ey, ey / jnp.where(ez, 1.0, en_))
+    gn = jnp.sqrt(gx_v * gx_v + gy_v * gy_v)
+    gz = gn == 0.0
+    gxn = jnp.where(gz, gx_v, gx_v / jnp.where(gz, 1.0, gn))
+    gyn = jnp.where(gz, gy_v, gy_v / jnp.where(gz, 1.0, gn))
+    p = exn * gxn + eyn * gyn
+    geo_v = jnp.where(p == 0.0, 1.0 / EPSILON, 1.0 / (p * p + EPSILON))
+
     photo = _photo_var(kgrad / (ks + EPSILON))
     a2 = alpha * alpha
     variance = a2 * (params.geo_coeff ** 2 * geo_v
@@ -371,7 +442,7 @@ def postprocess_pixel(u, q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
     prior_flag = check_args_flag(p_inv, p_var, params.min_inv_depth,
                                  params.max_inv_depth)
     prior_bad = prior_flag != jnp.int32(Flag.SUCCESS)
-    not_processed = a == 0
+    not_processed = age == 0
     flag = jnp.where(prior_bad, prior_flag, flag)
     flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
 
@@ -476,7 +547,7 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
         xs = jnp.arange(W, dtype=f32)
     ys = jnp.arange(H, dtype=f32)
     X, Y = jnp.meshgrid(xs, ys)
-    us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    us_x, us_y = X.ravel(), Y.ravel()
 
     age = age_map.ravel().astype(jnp.int32)
     prior_d = prior_depth.ravel().astype(f32)
@@ -486,26 +557,35 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     ridx = jnp.take(jnp.asarray(redirect, jnp.int32), ridx)
     active = sorted(set(redirect))
 
-    T_cols = T_rk_all.reshape(R_frames, 16).T[:, ridx]       # (16, N)
-    e_cols = e_key_all.T[:, ridx]                            # (2, N)
-    rf_cols = refframes.focal_length.T[:, ridx]              # (2, N)
-    ro_cols = refframes.offset.T[:, ridx]                    # (2, N)
-
     key_shape = keyframe.image.shape
     ref_shape = refframes.image.shape[1:]
 
-    # per-pixel plane count of the age-selected refframe
-    S_sel = jnp.take(jnp.asarray(S_all, f32), ridx)          # (N,)
+    def _select_active(*per_ref):
+        """Merge per-active-refframe (N,) arrays by each pixel's ridx.
 
-    # stage A: per-pixel geometry scalars + failure flags (shared with the
-    # scattered estimator — estimator.py::_pixel_geometry)
-    geo = jax.vmap(
-        lambda u, pi_, pv, T16, e, rf, ro, n: _pixel_geometry(
-            u, pi_, pv, T16.reshape(4, 4), e, keyframe.focal_length,
-            keyframe.offset, key_shape, rf, ro, ref_shape, params,
-            n),
-        in_axes=(0, 0, 0, 1, 1, 1, 1, 0), out_axes=0,
-    )(us, prior_inv, prior_v, T_cols, e_cols, rf_cols, ro_cols, S_sel)
+        A select chain, not a gather: per-pixel gathers of tiny tables
+        cost ~14 ns/element on XLA:TPU, and broadcasting the transform to
+        (16, N) columns costs ~2 ms of pure layout traffic (profiled r5)
+        — computing each active refframe's whole-image geometry and
+        selecting is strictly cheaper for the short histories VO keeps.
+        """
+        out = per_ref[0]
+        for i in range(1, len(active)):
+            out = jnp.where(ridx == active[i], per_ref[i], out)
+        return out
+
+    # stage A: per-pixel geometry scalars + failure flags (the
+    # componentwise whole-map form of estimator.py::_pixel_geometry),
+    # computed per active refframe — no (16, N) transform columns, no
+    # vmap-induced (N, 2)/(N, 3) minor-axis tensors
+    geos = [
+        pixel_geometry_map(
+            us_x, us_y, prior_inv, prior_v, T_rk_all[r], e_key_all[r],
+            keyframe.focal_length, keyframe.offset, key_shape,
+            refframes.focal_length[r], refframes.offset[r], ref_shape,
+            params, S_all[r])
+        for r in active]
+    geo = jax.tree.map(_select_active, *geos)
 
     # plane grids (uniform in inverse depth over the valid global range)
     q0 = params.min_inv_depth.astype(f32)
@@ -523,17 +603,30 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     # ``ref_step_size`` — the key template must be sampled at the sweep's
     # own spacing for the SSD scales to match (semi_dense.rs:27's ratio
     # rule applied to the plane parametrization).
-    def _arc_step(u, T16, n):
+    def _arc_step_map(T, n):
         # n planes include the 2*half_w grid extension; the [q0, q1] arc
-        # spans (n - 2*half_w - 1) plane steps
-        T = T16.reshape(4, 4)
-        x_key = (u - keyframe.offset) / keyframe.focal_length
-        xa, _ = _warp_point(T, x_key, safe_invert(q1))
-        xb, _ = _warp_point(T, x_key, safe_invert(q0))
-        return jnp.linalg.norm(xb - xa) / (n - 2 * (N_KEY_SAMPLES // 2) - 1)
+        # spans (n - 2*half_w - 1) plane steps.  Componentwise warp of
+        # the key ray at the two range endpoints (no (N, 2) stacks).
+        R = get_rotation(T)
+        t = get_translation(T)
+        r0 = R[0, 0] * geo.x_key_x + R[0, 1] * geo.x_key_y + R[0, 2]
+        r1 = R[1, 0] * geo.x_key_x + R[1, 1] * geo.x_key_y + R[1, 2]
+        r2 = R[2, 0] * geo.x_key_x + R[2, 1] * geo.x_key_y + R[2, 2]
 
-    step_sweep = jax.vmap(_arc_step, in_axes=(0, 1, 0))(
-        us, T_cols, S_sel)                                          # (N,)
+        def warp_xy(depth):
+            z = depth * r2 + t[2]
+            return ((depth * r0 + t[0]) / (z + EPSILON),
+                    (depth * r1 + t[1]) / (z + EPSILON))
+
+        xa_x, xa_y = warp_xy(safe_invert(q1))
+        xb_x, xb_y = warp_xy(safe_invert(q0))
+        dx = xb_x - xa_x
+        dy = xb_y - xa_y
+        return (jnp.sqrt(dx * dx + dy * dy)
+                / (n - 2 * (N_KEY_SAMPLES // 2) - 1))
+
+    step_sweep = _select_active(*[
+        _arc_step_map(T_rk_all[r], S_all[r]) for r in active])      # (N,)
     ratio = geo.key_step_size / (geo.step + EPSILON)
     key_step_sweep = ratio * step_sweep                             # (N,)
 
@@ -651,11 +744,14 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     q_star = jnp.clip(q_star_map.ravel(), lo, hi)
     no_match = (bm < 0).ravel()
 
-    # stage C: depth / variance / flags per pixel (semi_dense.rs:105-158)
-    depth, variance, flags = jax.vmap(
-        lambda *a: postprocess_pixel(*a, params=params),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0), out_axes=0)(
-        us, q_star, no_match, kgrad_post, ks_post,
-        gx.ravel(), gy.ravel(), geo, prior_inv, prior_v, T_cols, age)
+    # stage C: depth / variance / flags over the whole map
+    # (semi_dense.rs:105-158), per active refframe + ridx select
+    posts = [
+        postprocess_map(q_star, no_match, kgrad_post, ks_post,
+                        gx.ravel(), gy.ravel(), geo, prior_inv, prior_v,
+                        T_rk_all[r], age, params=params)
+        for r in active]
+    depth, variance, flags = (_select_active(*[p[i] for p in posts])
+                              for i in range(3))
     return (depth.reshape(H, W), variance.reshape(H, W),
             flags.reshape(H, W))

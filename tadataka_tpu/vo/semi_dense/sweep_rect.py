@@ -43,12 +43,12 @@ from tadataka_tpu.core.gradients import sobel_x, sobel_y
 from tadataka_tpu.core.transforms import inv_motion_matrix
 from tadataka_tpu.core.shiftwarp import rot_warp, const_shift_cols
 from tadataka_tpu.vo.semi_dense.estimator import (
-    EPSILON, safe_invert, _pixel_geometry, calc_key_epipole)
+    EPSILON, safe_invert, pixel_geometry_map, calc_key_epipole)
 from tadataka_tpu.vo.semi_dense.hypothesis import clamped_range
 from tadataka_tpu.vo.semi_dense.params import SemiDenseParams, N_KEY_SAMPLES
 from tadataka_tpu.vo.semi_dense.rectify import make_rectification
 from tadataka_tpu.vo.semi_dense.sweep import (
-    ssd_search, postprocess_pixel, _INF)
+    ssd_search, postprocess_map, _INF)
 
 DEFAULT_N_PLANES = 64
 DEFAULT_MAX_DX = 32
@@ -114,7 +114,7 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
     xs = jnp.arange(W, dtype=f32)
     ys = jnp.arange(H, dtype=f32)
     X, Y = jnp.meshgrid(xs, ys)
-    us = jnp.stack([X.ravel(), Y.ravel()], axis=-1)
+    us_x, us_y = X.ravel(), Y.ravel()
 
     age = age_map.ravel().astype(jnp.int32)
     prior_d = prior_depth.ravel().astype(f32)
@@ -122,23 +122,29 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
     prior_inv = safe_invert(prior_d)
     ridx = jnp.clip(R_frames - age, 0, R_frames - 1)
 
-    T_cols = T_rk_all.reshape(R_frames, 16).T[:, ridx]       # (16, N)
-    e_cols = e_key_all.T[:, ridx]                            # (2, N)
-    rf_cols = refframes.focal_length.T[:, ridx]              # (2, N)
-    ro_cols = refframes.offset.T[:, ridx]                    # (2, N)
-
     key_shape = keyframe.image.shape
     ref_shape = refframes.image.shape[1:]
 
+    def _select_ref(*per_ref):
+        """Merge per-refframe (N,) arrays by each pixel's age index —
+        a select chain, never a per-pixel transform gather (see
+        sweep.py::update_depth_sweep)."""
+        out = per_ref[0]
+        for i in range(1, R_frames):
+            out = jnp.where(ridx == i, per_ref[i], out)
+        return out
+
     # stage A: per-pixel geometry scalars + failure flags on the KEY grid
-    # (shared with the scattered estimator)
-    geo = jax.vmap(
-        lambda u, pi_, pv, T16, e, rf, ro: _pixel_geometry(
-            u, pi_, pv, T16.reshape(4, 4), e, keyframe.focal_length,
-            keyframe.offset, key_shape, rf, ro, ref_shape, params,
-            n_planes),
-        in_axes=(0, 0, 0, 1, 1, 1, 1), out_axes=0,
-    )(us, prior_inv, prior_v, T_cols, e_cols, rf_cols, ro_cols)
+    # (the componentwise whole-map form of the scattered estimator's
+    # _pixel_geometry), per refframe + age select
+    geos = [
+        pixel_geometry_map(
+            us_x, us_y, prior_inv, prior_v, T_rk_all[r], e_key_all[r],
+            keyframe.focal_length, keyframe.offset, key_shape,
+            refframes.focal_length[r], refframes.offset[r], ref_shape,
+            params, n_planes)
+        for r in range(R_frames)]
+    geo = jax.tree.map(_select_ref, *geos)
 
     # +-2 sigma inverse-depth bounds on the key grid (hypothesis.rs:15)
     lo, hi = clamped_range(prior_inv, prior_v, params.min_inv_depth,
@@ -251,11 +257,13 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
     kgrad_post = 2.0 * jnp.abs(gcx.ravel() * px + gcy.ravel() * py)
     ks_post = geo.key_step_size
 
-    depth, variance, flags = jax.vmap(
-        lambda *a: postprocess_pixel(*a, params=params),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0), out_axes=0)(
-        us, q_star, no_match, kgrad_post, ks_post,
-        gx.ravel(), gy.ravel(), geo, prior_inv, prior_v, T_cols, age)
+    posts = [
+        postprocess_map(q_star, no_match, kgrad_post, ks_post,
+                        gx.ravel(), gy.ravel(), geo, prior_inv, prior_v,
+                        T_rk_all[r], age, params=params)
+        for r in range(R_frames)]
+    depth, variance, flags = (_select_ref(*[p[i] for p in posts])
+                              for i in range(3))
     return (depth.reshape(H, W), variance.reshape(H, W),
             flags.reshape(H, W))
 
