@@ -10,13 +10,17 @@ The TPU-native form of that decoupling is device-level pipelining:
   device M (mapper):  age increment + propagation + planned plane-sweep
                       depth update + regularization
 
-Frame t's track runs against the depth map of frame t-2 (the newest map
-whose mapper stage has been DISPATCHED before track(t) is enqueued), so
-the two devices' programs have no same-frame data dependency and execute
-concurrently — steady-state throughput approaches
-max(track, map) instead of track + map.  The one-frame-stale tracking
-map is the standard LSD-SLAM semantics, not an approximation invented
-here.
+The mapper runs ONE FRAME BEHIND the tracker: ``estimate(t)`` dispatches
+track(t) and map(t-1).  track(t) reads the newest COMPLETED map
+(frame t-2's), and map(t-1) consumes track(t-1)'s pose from the previous
+call — so neither program enqueued this frame depends on the other, and
+the two devices genuinely execute concurrently: steady-state throughput
+approaches max(track, map) instead of track + map (ADVICE r4 item 1,
+which flagged the earlier same-frame dispatch order as serial).  The
+one/two-frame-stale tracking map is the standard LSD-SLAM semantics, not
+an approximation invented here.  ``state.depth_map`` therefore lags the
+pose by one frame; call :meth:`flush_map` to complete the final frame's
+map after the last ``estimate``.
 
 Cross-device traffic per frame: the (H, W) f32 image + pose (T->M) and
 the depth/variance/age maps (M->T), all moved by ``jax.device_put`` —
@@ -37,9 +41,11 @@ from tadataka_tpu.core.transforms import inv_motion_matrix, motion_matrix
 from tadataka_tpu.dataset.image_io import rgb2gray
 from tadataka_tpu.vo.dvo import estimate_pose_pyramid
 from tadataka_tpu.vo.semi_dense import (
-    SemiDenseParams, make_frame, propagate, increment_age, regularize)
+    SemiDenseParams, make_frame, propagate, propagate_tent, increment_age,
+    regularize)
 from tadataka_tpu.vo.semi_dense.estimator import safe_invert
-from tadataka_tpu.vo.semi_dense.fast import plan_update_np, update_depth_fast
+from tadataka_tpu.vo.semi_dense.fast import (
+    plan_flow_bounds, plan_update_np, update_depth_fast)
 from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame, stack_frames
 
 
@@ -57,13 +63,17 @@ def _track_stage(cm, I0, D_track, V_track, I1, R_prev, t_prev, *, cfg):
     return T10, T_wk, T_wk[:3, :3], T_wk[:3, 3]
 
 
-@partial(jax.jit, static_argnames=("plan", "cfg"))
+@partial(jax.jit, static_argnames=("plan", "cfg", "flow_bounds"))
 def _map_stage(cam, params, image, T10, T_wk, ref_frames, age0, D0, V0,
-               *, plan, cfg):
+               *, plan, cfg, flow_bounds=None):
     """Mapper-device program: age + propagate + planned update + reg."""
     do_reg, dd, dv, bias = cfg
-    age1 = increment_age(age0, cam, cam, T10, D0)
-    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    if flow_bounds is not None:
+        d1, v1, age1 = propagate_tent(T10, cam, cam, D0, V0, age0,
+                                      dd, dv, bias, flow_bounds)
+    else:
+        age1 = increment_age(age0, cam, cam, T10, D0)
+        d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
     keyframe = make_frame(cam, image, T_wk)
     refs = stack_frames(ref_frames)
     age_c = jnp.clip(age1, 0, refs.image.shape[0])
@@ -135,6 +145,8 @@ class PipelinedSemiDenseVO:
         self._pending = []
         self.pose_drain_interval = 4
         self._frame_id = 0
+        self._track_frame_id = 0
+        self._pending_map = None
         self._ref_ids = []
 
     # ------------------------------------------------------------- driver
@@ -146,11 +158,11 @@ class PipelinedSemiDenseVO:
         if self.state is None:
             return self._initialize(gray)
 
-        prev = self.state
-        self._advance_pose_chain()
+        self._advance_pose_chain(force=self._track_frame_id <= 2)
+        self._track_frame_id += 1
 
         # tracker device: pose of frame t against the newest COMPLETED
-        # map (one frame stale — LSD-SLAM tracking semantics)
+        # map (two frames stale — LSD-SLAM tracking semantics)
         I1_t = jax.device_put(jnp.asarray(gray), self.dev_track)
         if len(self.refframes) == 1 and self.initial_pose_fn is not None:
             # scale-fixing bootstrap, as in SemiDenseVO
@@ -158,7 +170,6 @@ class PipelinedSemiDenseVO:
             T10_host = np.asarray(pose10.T, np.float64)
             T10 = jax.device_put(jnp.asarray(T10_host, jnp.float32),
                                  self.dev_track)
-            R_prev_t, t_prev_t = self._pose_t
             T_wk_h = self._pose_wc_host @ np.linalg.inv(T10_host)
             T_wk = jax.device_put(jnp.asarray(T_wk_h, jnp.float32),
                                   self.dev_track)
@@ -172,37 +183,63 @@ class PipelinedSemiDenseVO:
                 self._cm_t, self._prev_image_t, D_tr, V_tr, I1_t,
                 R_prev_t, t_prev_t,
                 cfg=(self.n_coarse_to_fine, self.dvo_sample_budget))
-            self._pending.append((self._frame_id, T10))
+            self._pending.append((self._track_frame_id, T10))
         self._pose_t = (R_wk, t_wk)          # stays tracker-resident
 
-        # mapper device: full depth-map step for frame t
+        # mapper device: dispatch the PREVIOUS frame's map step (its pose
+        # is already computed, so map(t-1) never waits on track(t)) ...
+        self._dispatch_pending_map()
+
+        # ... and queue this frame's mapper inputs for the next call
         inv_T = np.linalg.inv(self._T10_host)
         push_T_host = self._pose_wc_host.copy()
         for _ in range(len(self._pending)):
             push_T_host = push_T_host @ inv_T
-        plan = self._plan(push_T_host)
         image_m = jax.device_put(jnp.asarray(gray), self.dev_map)
+        self._pending_map = (image_m, T10, T_wk, push_T_host,
+                             (R_wk, t_wk))
+        self._prev_image_t = I1_t
+        return self.state
+
+    def _dispatch_pending_map(self):
+        """Run the mapper stage for the queued frame (if any); updates
+        ``state``, the refframe history, and the tracker's map copy."""
+        if self._pending_map is None:
+            return
+        image_m, T10, T_wk, push_T_host, pose_tw = self._pending_map
+        self._pending_map = None
+        prev = self.state
+        plan = self._plan(push_T_host)
         T10_m = jax.device_put(T10, self.dev_map)
         T_wk_m = jax.device_put(T_wk, self.dev_map)
         refs = tuple(self.refframes[-self.history_size:])
+        bounds = plan_flow_bounds(self._T10_host, self._focal_np,
+                                  self._offset_np, self._image_shape,
+                                  self._q0, self._q1)
         age1, d2, v2, flags = _map_stage(
             self._cam_m, self._params_m, image_m, T10_m, T_wk_m, refs,
             prev.age_map, prev.depth_map, prev.variance_map,
             plan=plan,
             cfg=(self.regularize_depth, self.default_depth,
-                 self.default_variance, self.uncertainty_bias))
+                 self.default_variance, self.uncertainty_bias),
+            flow_bounds=bounds)
 
-        # ship the completed map back to the tracker for frame t+1
+        # ship the completed map back to the tracker (consumed two frames
+        # after its own — the pipeline's staleness contract)
         self._track_map = (jax.device_put(d2, self.dev_track),
                            jax.device_put(v2, self.dev_track))
         self._push_refframe(
             SemiDenseFrame(self._focal_m, self._offset_m, image_m, T_wk_m),
             push_T_host)
         self.state = PipelinedSemiDenseVOState(
-            Pose(jax.device_put(R_wk, self.dev_map),
-                 jax.device_put(t_wk, self.dev_map)),
+            Pose(jax.device_put(pose_tw[0], self.dev_map),
+                 jax.device_put(pose_tw[1], self.dev_map)),
             d2, v2, age1, flags)
-        self._prev_image_t = I1_t
+
+    def flush_map(self):
+        """Complete the final frame's mapper stage (call once after the
+        last ``estimate``); returns the up-to-date state."""
+        self._dispatch_pending_map()
         return self.state
 
     def _initialize(self, gray):
@@ -279,5 +316,6 @@ class PipelinedSemiDenseVO:
             self._ref_ids.pop(0)
 
     def finish(self):
+        self._dispatch_pending_map()
         self._advance_pose_chain(force=True)
         return self._pose_wc_host

@@ -31,6 +31,7 @@ scattered estimator remains as ``depth_update="scatter"`` for exact
 reference-parity runs.
 """
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -44,10 +45,11 @@ from tadataka_tpu.core.transforms import inv_motion_matrix, motion_matrix
 from tadataka_tpu.dataset.image_io import rgb2gray
 from tadataka_tpu.vo.dvo import estimate_pose_pyramid
 from tadataka_tpu.vo.semi_dense import (
-    SemiDenseParams, make_frame, update_depth, propagate, increment_age,
-    regularize)
+    SemiDenseParams, make_frame, update_depth, propagate, propagate_tent,
+    increment_age, regularize)
 from tadataka_tpu.vo.semi_dense.estimator import safe_invert
-from tadataka_tpu.vo.semi_dense.fast import plan_update_np, update_depth_fast
+from tadataka_tpu.vo.semi_dense.fast import (
+    plan_flow_bounds, plan_update_np, update_depth_fast)
 from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame, stack_frames
 
 
@@ -78,8 +80,21 @@ def _to_gray_f32(image_u8):
     return image_u8.astype(jnp.float32) / 255.0
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _track_fn(cm, cam, I0, D0, V0, age0, I1_u8, R_prev, t_prev, *, cfg):
+def _propagate_step(cam, T10, D0, V0, age0, dd, dv, bias, flow_bounds):
+    """Age + hypothesis propagation: the tap-scatter fast path when the
+    planner supplied static flow bounds, else the general scatter path
+    (propagation.py::propagate_tent docstring)."""
+    if flow_bounds is not None:
+        return propagate_tent(T10, cam, cam, D0, V0, age0, dd, dv, bias,
+                              flow_bounds)
+    age1 = increment_age(age0, cam, cam, T10, D0)
+    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    return d1, v1, age1
+
+
+@partial(jax.jit, static_argnames=("cfg", "flow_bounds"))
+def _track_fn(cm, cam, I0, D0, V0, age0, I1_u8, R_prev, t_prev, *, cfg,
+              flow_bounds=None):
     n_levels, budget, dd, dv, bias = cfg
     I1 = I1_u8.astype(jnp.float32) / 255.0
     weights = safe_invert(V0)
@@ -90,19 +105,19 @@ def _track_fn(cm, cam, I0, D0, V0, age0, I1_u8, R_prev, t_prev, *, cfg):
         n_levels, 20, 1.5, "map", "ic", budget)
     T10 = motion_matrix(R10, t10)
     T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
-    age1 = increment_age(age0, cam, cam, T10, D0)
-    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    d1, v1, age1 = _propagate_step(cam, T10, D0, V0, age0, dd, dv, bias,
+                                   flow_bounds)
     return I1, T10, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "flow_bounds"))
 def _age_propagate_fn(cam, I1_u8, T10, D0, V0, age0, R_prev, t_prev,
-                      *, cfg):
+                      *, cfg, flow_bounds=None):
     dd, dv, bias = cfg
     I1 = I1_u8.astype(jnp.float32) / 255.0
     T_wk = motion_matrix(R_prev, t_prev) @ inv_motion_matrix(T10)
-    age1 = increment_age(age0, cam, cam, T10, D0)
-    d1, v1 = propagate(T10, cam, cam, D0, V0, dd, dv, bias)
+    d1, v1, age1 = _propagate_step(cam, T10, D0, V0, age0, dd, dv, bias,
+                                   flow_bounds)
     return I1, T_wk, T_wk[:3, :3], T_wk[:3, 3], age1, d1, v1
 
 
@@ -123,6 +138,24 @@ def _update_fn(cam, params, image, T_wk, ref_frames, age1, d1, v1,
     if do_reg:
         d2 = regularize(d2, v2, flags)
     return d2, v2, flags
+
+
+@partial(jax.jit, static_argnames=("track_cfg", "update_cfg", "plan",
+                                   "flow_bounds"))
+def _step_fn(cm, cam, params, I0, D0, V0, age0, I1_u8, R_prev, t_prev,
+             ref_frames, *, track_cfg, update_cfg, plan, flow_bounds):
+    """The whole per-frame step (DVO track + age/propagate + planned
+    depth update + regularize) as ONE device program — the plan comes
+    from the host-side constant-velocity prediction, never from this
+    frame's device values, so nothing forces a mid-frame dispatch break
+    (each dispatch costs ~0.3 ms through the remote tunnel, and one
+    program lets XLA overlap the stages)."""
+    I1, T10, T_wk, R_wk, t_wk, age1, d1, v1 = _track_fn(
+        cm, cam, I0, D0, V0, age0, I1_u8, R_prev, t_prev,
+        cfg=track_cfg, flow_bounds=flow_bounds)
+    d2, v2, flags = _update_fn(cam, params, I1, T_wk, ref_frames,
+                               age1, d1, v1, plan=plan, cfg=update_cfg)
+    return I1, T10, T_wk, R_wk, t_wk, age1, d2, v2, flags
 
 
 class SemiDenseVO:
@@ -195,6 +228,15 @@ class SemiDenseVO:
         self._track = self._build_track()
         self._age_propagate = self._build_age_propagate()
         self._update = self._build_update()
+        self._step = self._build_step()
+
+        # Through the remote-dispatch tunnel an image upload is a ~5 ms
+        # BLOCKING host call; a one-worker uploader lets the driver
+        # overlap the next frame's gray conversion + upload with the
+        # current frame's device step (see :meth:`prefetch`).
+        self._uploader = ThreadPoolExecutor(max_workers=1)
+        self._upload_futures = {}
+        self._plan_cache = {}
 
     # ------------------------------------------------------- device steps
 
@@ -204,13 +246,38 @@ class SemiDenseVO:
         cfg = (self.n_coarse_to_fine, self.dvo_sample_budget,
                self.default_depth, self.default_variance,
                self.uncertainty_bias)
-        return lambda *args: _track_fn(cm, cam, *args, cfg=cfg)
+        return lambda *args, flow_bounds=None: _track_fn(
+            cm, cam, *args, cfg=cfg, flow_bounds=flow_bounds)
 
     def _build_age_propagate(self):
         cam = self.camera_params
         cfg = (self.default_depth, self.default_variance,
                self.uncertainty_bias)
-        return lambda *args: _age_propagate_fn(cam, *args, cfg=cfg)
+        return lambda *args, flow_bounds=None: _age_propagate_fn(
+            cam, *args, cfg=cfg, flow_bounds=flow_bounds)
+
+    def _build_step(self):
+        cm = self._camera_model
+        cam = self.camera_params
+        params = self.params
+        track_cfg = (self.n_coarse_to_fine, self.dvo_sample_budget,
+                     self.default_depth, self.default_variance,
+                     self.uncertainty_bias)
+        update_cfg = (self.regularize_depth, self.n_ref_samples)
+        return lambda *args: _step_fn(
+            cm, cam, params, *args[:-3], ref_frames=args[-3],
+            track_cfg=track_cfg, update_cfg=update_cfg,
+            plan=args[-2], flow_bounds=args[-1])
+
+    def _flow_bounds(self):
+        """Static tap bounds for this frame's propagation, planned from
+        the constant-velocity T10 prediction (host numpy; bucketed so a
+        run compiles a handful of tap grids).  None -> scatter path."""
+        if self.depth_update != "fast":
+            return None
+        return plan_flow_bounds(self._T10_host, self._focal_np,
+                                self._offset_np, self._image_shape,
+                                self._q0, self._q1)
 
     def _build_update(self):
         params = self.params
@@ -244,30 +311,57 @@ class SemiDenseVO:
         """Plan the depth update from the best available host estimate of
         the keyframe pose — exact for the bootstrap frame, a
         constant-velocity prediction otherwise (host numpy only; zero
-        device syncs)."""
+        device syncs).  Memoized on the ROUNDED relative transforms: the
+        plan is bucketed anyway, and under smooth motion consecutive
+        frames hit the cache (~2 ms of host numpy per frame saved)."""
         n = min(len(self._ref_Ts_host), self.history_size)
         ref_Ts = np.stack(self._ref_Ts_host[-n:])
+        rels = np.stack([np.linalg.inv(T) @ key_T_pred for T in ref_Ts])
+        key = (n, tuple(np.round(rels[:, :3, :].ravel(), 3)))
+        hit = self._plan_cache.get(key)
+        if hit is not None:
+            return hit
         f = np.broadcast_to(self._focal_np, (n, 2))
         c = np.broadcast_to(self._offset_np, (n, 2))
-        return plan_update_np(key_T_pred, self._focal_np, self._offset_np,
+        plan = plan_update_np(key_T_pred, self._focal_np, self._offset_np,
                               self._image_shape, ref_Ts, f, c,
                               self._q0, self._q1)
+        self._plan_cache[key] = plan
+        return plan
 
     # ------------------------------------------------------------- driver
 
-    def estimate(self, frame):
-        """Process a frame (Frame or raw image).  Returns the state."""
+    def _prepare_image(self, frame):
+        """Host gray conversion + uint8 quantization + device upload."""
         image = frame.image if hasattr(frame, "image") else frame
         gray = rgb2gray(np.asarray(image))
-        image_u8 = jnp.asarray(
+        return jnp.asarray(
             np.clip(np.round(np.asarray(gray) * 255.0), 0, 255)
             .astype(np.uint8))
+
+    def prefetch(self, frame):
+        """Start this frame's gray conversion + upload on the worker
+        thread; a later ``estimate(frame)`` picks up the result.  Call
+        with frame t+1 right after ``estimate(frame_t)`` to hide the
+        ~8 ms of per-frame host image work behind the device step."""
+        self._upload_futures[id(frame)] = self._uploader.submit(
+            self._prepare_image, frame)
+
+    def estimate(self, frame):
+        """Process a frame (Frame or raw image).  Returns the state."""
+        fut = self._upload_futures.pop(id(frame), None)
+        image_u8 = fut.result() if fut is not None \
+            else self._prepare_image(frame)
 
         if self.state is None:
             return self._initialize(image_u8)
 
         prev = self.state
-        self._advance_pose_chain()
+        # Early frames force-drain (one sync each): until the first real
+        # T10 lands, the constant-velocity prediction is identity and the
+        # planner would pick near-zero budgets/flow bounds, silently
+        # degrading the first frames' depth updates (ADVICE r4 item 2).
+        self._advance_pose_chain(force=self._frame_id <= 2)
 
         # 1-2. pose tracking + age/hypothesis propagation (one program)
         if len(self.refframes) == 1 and self.initial_pose_fn is not None:
@@ -277,34 +371,39 @@ class SemiDenseVO:
                                           _to_gray_f32(image_u8))
             T10_host = np.asarray(pose10.T, np.float64)
             T10 = jnp.asarray(T10_host, jnp.float32)
+            self._T10_host = T10_host
             image, T_wk, R_wk, t_wk, age1, depth1, variance1 = \
                 self._age_propagate(
                     image_u8, T10, prev.depth_map, prev.variance_map,
-                    prev.age_map, prev.pose_wc.R, prev.pose_wc.t)
-            self._T10_host = T10_host
+                    prev.age_map, prev.pose_wc.R, prev.pose_wc.t,
+                    flow_bounds=self._flow_bounds())
             self._pose_wc_host = (
                 self._pose_wc_host @ np.linalg.inv(T10_host))
             push_T_host = self._pose_wc_host           # exact
+            # 3. planned depth update (bootstrap frame: separate dispatch)
+            plan = (self._plan(push_T_host)
+                    if self.depth_update == "fast" else None)
+            refs = tuple(self.refframes[-self.history_size:])
+            depth1, variance1, flags = self._update(
+                image, T_wk, refs, age1, depth1, variance1, plan)
         else:
-            image, T10, T_wk, R_wk, t_wk, age1, depth1, variance1 = \
-                self._track(
-                    self._prev_image, prev.depth_map, prev.variance_map,
-                    prev.age_map, image_u8, prev.pose_wc.R,
-                    prev.pose_wc.t)
-            self._pending.append((self._frame_id, T10))
-            # constant-velocity prediction over the undrained frames;
-            # corrected by _advance_pose_chain when the batch lands
+            # steady state: the ENTIRE frame step is one device program —
+            # the plan uses the constant-velocity prediction over the
+            # undrained frames (corrected when the batch lands), so no
+            # device value is needed before dispatch
             inv_T = np.linalg.inv(self._T10_host)
             push_T_host = self._pose_wc_host.copy()
-            for _ in range(len(self._pending)):
+            for _ in range(len(self._pending) + 1):
                 push_T_host = push_T_host @ inv_T
-
-        # 3. planned epipolar depth update against the refframe history
-        plan = (self._plan(push_T_host)
-                if self.depth_update == "fast" else None)
-        refs = tuple(self.refframes[-self.history_size:])
-        depth1, variance1, flags = self._update(
-            image, T_wk, refs, age1, depth1, variance1, plan)
+            plan = (self._plan(push_T_host)
+                    if self.depth_update == "fast" else None)
+            refs = tuple(self.refframes[-self.history_size:])
+            (image, T10, T_wk, R_wk, t_wk, age1, depth1, variance1,
+             flags) = self._step(
+                self._prev_image, prev.depth_map, prev.variance_map,
+                prev.age_map, image_u8, prev.pose_wc.R, prev.pose_wc.t,
+                refs, plan, self._flow_bounds())
+            self._pending.append((self._frame_id, T10))
 
         self._push_refframe(
             SemiDenseFrame(jnp.asarray(self.camera_params.focal_length),

@@ -125,27 +125,6 @@ def _radtan_distort_one(coeffs, x):
     ])
 
 
-def _radtan_undistort_one(coeffs, x, max_iter, threshold):
-    """Newton iteration p <- p + J^-1 (x - distort(p)), vectorized by vmap."""
-    jac = jax.jacfwd(_radtan_distort_one, argnums=1)
-
-    def cond(state):
-        i, _, err = state
-        return jnp.logical_and(i < max_iter, err >= threshold)
-
-    def body(state):
-        i, p, _ = state
-        J = jac(coeffs, p)
-        r = x - _radtan_distort_one(coeffs, p)
-        det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
-        Jinv = jnp.array([[J[1, 1], -J[0, 1]], [-J[1, 0], J[0, 0]]]) / det
-        d = Jinv @ r
-        return i + 1, p + d, jnp.dot(d, d)
-
-    _, p, _ = jax.lax.while_loop(cond, body, (0, x, jnp.inf))
-    return p
-
-
 class RadTan(NamedTuple):
     """Radial-tangential distortion, COLMAP coefficient convention
     (k1, k2, p1, p2, k3)."""
@@ -165,10 +144,69 @@ class RadTan(NamedTuple):
 
     def undistort(self, x, max_iter=100, threshold=1e-10):
         flat = x.reshape(-1, 2)
-        out = jax.vmap(_radtan_undistort_one,
-                       in_axes=(None, 0, None, None))(
-            self.dist_coeffs, flat, max_iter, threshold)
-        return out.reshape(x.shape)
+        u, v = self.undistort_xy(flat[:, 0], flat[:, 1],
+                                 max_iter=max_iter, threshold=threshold)
+        return jnp.stack([u, v], axis=-1).reshape(x.shape)
+
+    def distort_xy(self, u, v):
+        """Componentwise COLMAP radial-tangential distort."""
+        c = self.dist_coeffs
+        k1, k2, p1, p2, k3 = c[0], c[1], c[2], c[3], c[4]
+        u2, v2, uv = u * u, v * v, u * v
+        r2 = u2 + v2
+        r4 = r2 * r2
+        kr = 1.0 + k1 * r2 + k2 * r4 + k3 * r4 * r2
+        return (u * kr + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2),
+                v * kr + 2.0 * p2 * uv + p1 * (r2 + 2.0 * v2))
+
+    def undistort_xy(self, u, v, max_iter=100, threshold=1e-10):
+        """Batched componentwise Newton undistort with the ANALYTIC 2x2
+        Jacobian (same math the reference generates with sympy,
+        /root/reference/tadataka/camera/_radtan.pyx:65-88).
+
+        One whole-array while_loop instead of a vmapped per-point loop:
+        the vmap form builds (N, 2, 2) jacfwd tensors whose minor dims
+        TPU tiling pads 32x, and every point pays the worst point's
+        iteration count either way.  Converged lanes freeze (matching the
+        per-point stop), the loop exits when ALL lanes converge.
+        """
+        c = self.dist_coeffs
+        k1, k2, p1, p2, k3 = c[0], c[1], c[2], c[3], c[4]
+
+        def newton_step(pu, pv):
+            u2, v2, uv = pu * pu, pv * pv, pu * pv
+            r2 = u2 + v2
+            r4 = r2 * r2
+            kr = 1.0 + k1 * r2 + k2 * r4 + k3 * r4 * r2
+            du = pu * kr + 2.0 * p1 * uv + p2 * (r2 + 2.0 * u2)
+            dv = pv * kr + 2.0 * p2 * uv + p1 * (r2 + 2.0 * v2)
+            # d(kr)/d(r2) expanded through r2's u/v derivatives
+            dkr = k1 + 2.0 * k2 * r2 + 3.0 * k3 * r4
+            j00 = kr + 2.0 * u2 * dkr + 2.0 * p1 * pv + 6.0 * p2 * pu
+            j11 = kr + 2.0 * v2 * dkr + 2.0 * p2 * pu + 6.0 * p1 * pv
+            j01 = 2.0 * uv * dkr + 2.0 * p1 * pu + 2.0 * p2 * pv
+            rx = u - du
+            ry = v - dv
+            det = j00 * j11 - j01 * j01
+            su = (j11 * rx - j01 * ry) / det
+            sv = (j00 * ry - j01 * rx) / det
+            return su, sv
+
+        def cond(state):
+            i, _, _, active = state
+            return jnp.logical_and(i < max_iter, jnp.any(active))
+
+        def body(state):
+            i, pu, pv, active = state
+            su, sv = newton_step(pu, pv)
+            pu = jnp.where(active, pu + su, pu)
+            pv = jnp.where(active, pv + sv, pv)
+            err = su * su + sv * sv
+            return i + 1, pu, pv, active & (err >= threshold)
+
+        _, pu, pv, _ = jax.lax.while_loop(
+            cond, body, (0, u, v, jnp.ones(jnp.shape(u), bool)))
+        return pu, pv
 
     @classmethod
     def from_params(cls, params):

@@ -37,6 +37,18 @@ class CameraModel(NamedTuple):
         return self.camera_parameters.unnormalize(
             self.distortion_model.distort(normalized_keypoints))
 
+    # Componentwise forms (separate x / y arrays) — the hot-path layout:
+    # packed (N, 2) coordinate tensors pad their minor dim to 128 lanes
+    # on TPU (see CameraParameters.normalize_xy).
+
+    def normalize_xy(self, ux, uy):
+        xn, yn = self.camera_parameters.normalize_xy(ux, uy)
+        return self.distortion_model.undistort_xy(xn, yn)
+
+    def unnormalize_xy(self, xn, yn):
+        dx, dy = self.distortion_model.distort_xy(xn, yn)
+        return self.camera_parameters.unnormalize_xy(dx, dy)
+
     def __str__(self):
         distortion_type = type(self.distortion_model).__name__
         params = self.camera_parameters.params + self.distortion_model.params

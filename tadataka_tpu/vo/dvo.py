@@ -19,12 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from tadataka_tpu.camera import resize as camera_resize
-from tadataka_tpu.core.coordinates import image_coordinates
 from tadataka_tpu.core.gradients import np_gradient_2d
-from tadataka_tpu.core.image_range import is_in_image_range
 from tadataka_tpu.core.interpolation import interpolate
 from tadataka_tpu.core.pose import Pose
-from tadataka_tpu.core.projection import pi, inv_pi
 from tadataka_tpu.core.shiftwarp import tent_sample
 from tadataka_tpu.robust.weights import (
     compute_weights_huber, compute_weights_student_t, compute_weights_tukey)
@@ -36,19 +33,26 @@ def calc_jacobian(focal_length, gx, gy, P):
     Parity: calc_jacobian (/root/reference/tadataka/vo/dvo/jacobian.py:8-25).
     P: (N, 3) points in frame 1; gx, gy: (N,) sampled gradients of I1.
     """
+    return jnp.stack(
+        calc_jacobian_cols(focal_length, gx, gy,
+                           P[:, 0], P[:, 1], P[:, 2]), axis=-1)
+
+
+def calc_jacobian_cols(focal_length, gx, gy, x, y, z):
+    """The six Jacobian columns as separate (N,) arrays — the TPU layout
+    (an (N, 6) tensor tiles its minor dim to 128 lanes: 21x pad)."""
     fx, fy = focal_length[0], focal_length[1]
     fgx, fgy = fx * gx, fy * gy
-    x, y, z = P[:, 0], P[:, 1], P[:, 2]
     z2 = z * z
     xy = x * y
-    return jnp.stack([
+    return (
         fgx / z,
         fgy / z,
         -(fgx * x + fgy * y) / z2,
         -(fgx * xy + fgy * (z2 + y * y)) / z2,
         (fgx * (z2 + x * x) + fgy * xy) / z2,
         (-fgx * y + fgy * x) / z,
-    ], axis=-1)
+    )
 
 
 def _resolve_weights(weight_kind, residuals, weight_map, mask):
@@ -73,9 +77,11 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
     ``sample_budget`` as in _estimate_level_ic (here three channels —
     I1, GX1, GY1 — ride the same two tent passes)."""
     H, W = I0.shape
-    us0 = image_coordinates(D0.shape, dtype=I0.dtype)
-    xs0 = camera_model0.normalize(us0)
-    P0 = inv_pi(xs0, D0.ravel())
+    f32 = I0.dtype
+    ux, uy = _grid_xy(D0.shape, f32)
+    x0n, y0n = camera_model0.normalize_xy(ux, uy)
+    d0 = D0.ravel()
+    p0x, p0y, p0z = x0n * d0, y0n * d0, d0
     GX1, GY1 = np_gradient_2d(I1)
     IG1 = jnp.stack([I1, GX1, GY1])
     i0 = I0.ravel()
@@ -88,9 +94,13 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
 
     def body(carry):
         k, R, t, R_best, t_best, prev_error, _ = carry
-        P1 = P0 @ R.T + t
-        us1 = camera_model1.unnormalize(pi(P1))
-        mask = is_in_image_range(us1, GX1.shape) & (P1[:, 2] > 0)
+        p1x = R[0, 0] * p0x + R[0, 1] * p0y + R[0, 2] * p0z + t[0]
+        p1y = R[1, 0] * p0x + R[1, 1] * p0y + R[1, 2] * p0z + t[1]
+        p1z = R[2, 0] * p0x + R[2, 1] * p0y + R[2, 2] * p0z + t[2]
+        x1 = p1x / (p1z + 1e-16)
+        y1 = p1y / (p1z + 1e-16)
+        us1x, us1y = camera_model1.unnormalize_xy(x1, y1)
+        mask = _in_image_xy(us1x, us1y, GX1.shape) & (p1z > 0)
 
         # forward-compositional residual: r = I0(u0) - I1(warp(u0)).
         # (The reference freezes r = I0 - I1 at the original grid,
@@ -99,15 +109,15 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         # photometric error, so the error-increase stop costs no extra warp
         # (the reference re-warps the full image per iteration for it).
         if sample_budget > 0:
-            x_map = us1[:, 0].reshape(H, W)
-            y_map = us1[:, 1].reshape(H, W)
-            ig1, ok = tent_sample(IG1, x_map, y_map,
+            ig1, ok = tent_sample(IG1, us1x.reshape(H, W),
+                                  us1y.reshape(H, W),
                                   sample_budget, sample_budget)
             i1 = ig1[0].ravel()
             gx1 = ig1[1].ravel()
             gy1 = ig1[2].ravel()
             mask = mask & ok.ravel()
         else:
+            us1 = jnp.stack([us1x, us1y], axis=-1)
             i1 = interpolate(I1, us1)
             gx1 = interpolate(GX1, us1)
             gy1 = interpolate(GY1, us1)
@@ -122,13 +132,11 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         done = jnp.logical_or(jnp.logical_not(any_valid),
                               jnp.logical_not(improved))
         # guard z against masked lanes to keep J finite
-        P1_safe = P1.at[:, 2].set(jnp.where(mask, P1[:, 2], 1.0))
-        J = calc_jacobian(focal_length, gx1, gy1, P1_safe)
+        p1z_safe = jnp.where(mask, p1z, 1.0)
+        J_cols = calc_jacobian_cols(focal_length, gx1, gy1,
+                                    p1x, p1y, p1z_safe)
         w = _resolve_weights(weight_kind, residuals, wmap, mask)
-
-        Jw = J * w[:, None]
-        JtJ = Jw.T @ J
-        Jtr = Jw.T @ residuals
+        JtJ, Jtr = _normal_equations(J_cols, w, residuals)
         xi = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(6, dtype=JtJ.dtype), Jtr)
 
         dpose = Pose.from_se3(xi)
@@ -144,15 +152,43 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
     return R, t
 
 
+def _grid_xy(shape, dtype):
+    """Flat (N,) pixel-coordinate components (no (N, 2) stacks)."""
+    H, W = shape
+    X, Y = jnp.meshgrid(jnp.arange(W, dtype=dtype),
+                        jnp.arange(H, dtype=dtype))
+    return X.ravel(), Y.ravel()
+
+
+def _in_image_xy(x, y, shape):
+    H, W = shape
+    return (0.0 <= x) & (x <= W - 1.0) & (0.0 <= y) & (y <= H - 1.0)
+
+
+def _normal_equations(J_cols, w, residuals):
+    """6x6 J^T W J and J^T W r from six (N,) Jacobian columns.
+
+    (6, N) stacks keep the pixel axis minor (clean TPU tiling); the
+    contraction runs as one dot_general.
+    """
+    Jt = jnp.stack(J_cols)                         # (6, N)
+    Jw = Jt * w[None, :]
+    JtJ = jax.lax.dot_general(Jw, Jt, (((1,), (1,)), ((), ())),
+                              preferred_element_type=Jw.dtype)
+    Jtr = Jw @ residuals
+    return JtJ, Jtr
+
+
 def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
                        R10, t10, max_iter, weight_kind, sample_budget=0):
     """Inverse-compositional Gauss-Newton at one pyramid level.
 
     Baker-Matthews IC: the 2x6 Jacobian lives on the TEMPLATE (frame 0)
     and is computed once per level; each iteration costs one bilinear
-    sample of I1 plus a (N, 6) reduction — a 3x cut in gather traffic vs
-    the forward-compositional loop, which is the dominant cost on TPU
-    (XLA's random-access gather runs far below HBM bandwidth).
+    sample of I1 plus a (6, N) reduction — a 3x cut in gather traffic vs
+    the forward-compositional loop.  All per-pixel state is carried as
+    separate (N,) component arrays: packed (N, 2)/(N, 3)/(N, 6) tensors
+    tile their minor dim to 128 lanes on TPU (21-64x pad — profiled r5).
     The pose increment composes on the template side:
     pose10 <- pose10 * exp(xi)^-1.
 
@@ -164,9 +200,11 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
     pyramid keeps residual flow small at every level for VO motion).
     """
     H, W = I0.shape
-    us0 = image_coordinates(D0.shape, dtype=I0.dtype)
-    xs0 = camera_model0.normalize(us0)
-    P0 = inv_pi(xs0, D0.ravel())
+    f32 = I0.dtype
+    ux, uy = _grid_xy(D0.shape, f32)
+    x0n, y0n = camera_model0.normalize_xy(ux, uy)
+    d0 = D0.ravel()
+    p0x, p0y, p0z = x0n * d0, y0n * d0, d0
     GX0, GY0 = np_gradient_2d(I0)
     gx0 = GX0.ravel()
     gy0 = GY0.ravel()
@@ -176,8 +214,8 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
 
     # template-side Jacobian, once per level (identity warp, points in
     # frame-0 coordinates)
-    J = calc_jacobian(focal_length, gx0, gy0,
-                      P0.at[:, 2].set(jnp.maximum(P0[:, 2], 1e-6)))
+    J_cols = calc_jacobian_cols(focal_length, gx0, gy0, p0x, p0y,
+                                jnp.maximum(p0z, 1e-6))
 
     def cond(carry):
         k, R, t, R_best, t_best, prev_error, done = carry
@@ -185,19 +223,22 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
 
     def body(carry):
         k, R, t, R_best, t_best, prev_error, _ = carry
-        P1 = P0 @ R.T + t
-        us1 = camera_model1.unnormalize(pi(P1))
-        mask = is_in_image_range(us1, I1.shape) & (P1[:, 2] > 0)
+        p1x = R[0, 0] * p0x + R[0, 1] * p0y + R[0, 2] * p0z + t[0]
+        p1y = R[1, 0] * p0x + R[1, 1] * p0y + R[1, 2] * p0z + t[1]
+        p1z = R[2, 0] * p0x + R[2, 1] * p0y + R[2, 2] * p0z + t[2]
+        x1 = p1x / (p1z + 1e-16)
+        y1 = p1y / (p1z + 1e-16)
+        us1x, us1y = camera_model1.unnormalize_xy(x1, y1)
+        mask = _in_image_xy(us1x, us1y, I1.shape) & (p1z > 0)
 
         if sample_budget > 0:
-            x_map = us1[:, 0].reshape(H, W)
-            y_map = us1[:, 1].reshape(H, W)
-            i1_map, ok = tent_sample(I1, x_map, y_map,
+            i1_map, ok = tent_sample(I1, us1x.reshape(H, W),
+                                     us1y.reshape(H, W),
                                      sample_budget, sample_budget)
             i1 = i1_map.ravel()
             mask = mask & ok.ravel()
         else:
-            i1 = interpolate(I1, us1)
+            i1 = interpolate(I1, jnp.stack([us1x, us1y], axis=-1))
         any_valid = jnp.any(mask)
 
         residuals = jnp.where(mask, i1 - i0, 0.0)   # IC sign convention
@@ -211,9 +252,7 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
                               jnp.logical_not(improved))
 
         w = _resolve_weights(weight_kind, residuals, wmap, mask)
-        Jw = J * w[:, None]
-        JtJ = Jw.T @ J
-        Jtr = Jw.T @ residuals
+        JtJ, Jtr = _normal_equations(J_cols, w, residuals)
         xi = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(6, dtype=JtJ.dtype), Jtr)
 
         # inverse composition: warp <- warp o exp(xi)^-1

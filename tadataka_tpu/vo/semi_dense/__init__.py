@@ -16,7 +16,7 @@ from tadataka_tpu.vo.semi_dense.params import SemiDenseParams
 from tadataka_tpu.vo.semi_dense.frame import SemiDenseFrame, make_frame
 from tadataka_tpu.vo.semi_dense.estimator import (
     update_depth, estimate_pixel, estimate_debug)
-from tadataka_tpu.vo.semi_dense.propagation import propagate
+from tadataka_tpu.vo.semi_dense.propagation import propagate, propagate_tent
 from tadataka_tpu.vo.semi_dense.age import increment_age
 from tadataka_tpu.vo.semi_dense.fusion import fusion, fusion_maps
 from tadataka_tpu.vo.semi_dense.regularization import regularize

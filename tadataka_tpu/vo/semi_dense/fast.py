@@ -93,6 +93,63 @@ def _np_homography_span(Ha, Hb, image_shape, n=9):
                           Qa[1] / Qa[2] - Qb[1] / Qb[2]).max())
 
 
+FLOW_TAPS_MAX = 1600   # tap-scatter propagation cap (nx * ny)
+_FLOW_BUCKET = 4
+
+
+def plan_flow_bounds(T10, focal, offset, image_shape, q0, q1,
+                     margin=2, taps_max=FLOW_TAPS_MAX):
+    """Per-axis SIGNED cell-displacement bounds of the depth-induced
+    warp frame0 -> frame1 over the valid inverse-depth range — the
+    static tap grid for propagation.propagate_tent.
+
+    Host-side numpy on the (predicted) relative pose; bounds are
+    bucketed to multiples of 4 so a VO run compiles a handful of tap
+    grids, not one per frame.  Returns (dx_lo, dx_hi, dy_lo, dy_hi) or
+    None when the grid would exceed ``taps_max`` (fall back to the
+    scatter path).
+    """
+    Hh, Ww = image_shape
+    xs = np.linspace(0, Ww - 1.0, 9)
+    ys = np.linspace(0, Hh - 1.0, 9)
+    X, Y = np.meshgrid(xs, ys)
+    P = np.stack([X.ravel(), Y.ravel(), np.ones(X.size)])
+    K = _np_K(focal, offset)
+    K_inv = np.linalg.inv(K)
+    dxs, dys = [], []
+    qm = np.sqrt(max(q0, 1e-12) * q1)
+    for q in (q0, qm, 0.5 * (q0 + q1), q1):
+        A = T10[:3, :3] + q * np.outer(T10[:3, 3], [0.0, 0.0, 1.0])
+        Q = K @ A @ K_inv @ P
+        if np.any(Q[2] <= 1e-9):
+            return None
+        dxs.append(Q[0] / Q[2] - P[0])
+        dys.append(Q[1] / Q[2] - P[1])
+    dxs = np.concatenate(dxs)
+    dys = np.concatenate(dys)
+
+    def lo_hi(d):
+        lo = int(np.floor(d.min())) - margin
+        hi = int(np.ceil(d.max())) + margin
+        lo = -_FLOW_BUCKET * int(np.ceil(-lo / _FLOW_BUCKET)) \
+            if lo < 0 else lo
+        hi = _FLOW_BUCKET * int(np.ceil(hi / _FLOW_BUCKET)) \
+            if hi > 0 else hi
+        return lo, hi
+
+    dx_lo, dx_hi = lo_hi(dxs)
+    dy_lo, dy_hi = lo_hi(dys)
+    n_taps = (dx_hi - dx_lo + 1) * (dy_hi - dy_lo + 1)
+    import jax
+    if jax.default_backend() != "tpu":
+        # XLA:CPU compile time grows steeply with the unrolled tap count
+        # (~13 s at 225 taps); keep CI fast, fall back to scatter sooner
+        taps_max = min(taps_max, 256)
+    if n_taps > taps_max:
+        return None
+    return (dx_lo, dx_hi, dy_lo, dy_hi)
+
+
 def plan_update(keyframe, refframes, params) -> UpdatePlan:
     """Choose the update path for this keyframe + refframe history.
 
@@ -230,8 +287,27 @@ def plan_update_np(key_T, key_f, key_c, image_shape,
     # key grid — no cross-grid interpolation of priors/results) > rect
     # (exact per-refframe geometry at ANY lateral baseline; the stereo
     # path) > tent with age redirects (approximate refframe choice) >
-    # scatter.
-    if tent_plan is not None and len(feasible_idx) == n_refs:
+    # scatter.  EXCEPT on cost: tent warp work grows as
+    # sum_r planes_r * budget_r (wide-baseline refframes dominate — a
+    # budget-32, 64-plane history member costs ~5x the whole near-frame
+    # sweep), while the rect path's per-plane work is a constant 1-px
+    # shift whatever the baseline; when every refframe is rectifiable and
+    # the tent tap work clearly exceeds rect's, rect is the faster exact
+    # path (r5: the 5-refframe real-clip update dropped ~2x).
+    full_tent = tent_plan is not None and len(feasible_idx) == n_refs
+    if full_tent and rect_plan is not None:
+        tent_cost = sum(
+            s * (b[0] + b[1] + 1) / 2.0
+            for s, b in zip(tent_plan.n_planes,
+                            (budgets[redirect[r]] for r in range(n_refs))))
+        rect_cost = (n_refs * 4 * (2 * RECT_MAX_DX + 1)
+                     + 6 * rect_plan.n_planes[0])
+        # fire only on decisively expensive histories: tent measures on
+        # the key grid (no cross-grid interpolation) and should win all
+        # close calls
+        if tent_cost > max(3.0 * rect_cost, 3000.0):
+            return rect_plan
+    if full_tent:
         return tent_plan
     if rect_plan is not None:
         return rect_plan

@@ -35,6 +35,7 @@ def test_pipelined_vo_two_devices():
         initial_pose_fn=lambda a, b: poses[1].inv() * poses[0])
     for i in range(5):
         st = vo.estimate(ds[i])
+    st = vo.flush_map()        # complete the final frame's mapper stage
 
     # the map lives on the mapper device; tracking state on the tracker
     assert list(st.depth_map.devices())[0] == devices[1]

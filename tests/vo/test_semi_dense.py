@@ -234,3 +234,63 @@ def test_propagate_collisions_fuse_or_keep_nearer():
     # untouched cells fall back to the defaults
     np.testing.assert_allclose(depth1[0, 2:], 7.0)
     np.testing.assert_allclose(var1[0, 2:], 0.5)
+
+
+def test_propagate_tent_matches_scatter(stereo):
+    """Tap-scatter propagation == scatter propagation + increment_age
+    wherever the displacement fits the planned bounds."""
+    from tadataka_tpu.vo.semi_dense import propagate_tent
+    from tadataka_tpu.vo.semi_dense.fast import plan_flow_bounds
+
+    key, ref, keyframe, refframe = stereo
+    cam = CameraParameters.create(FOCAL, (W / 2, H / 2))
+    T10 = np.asarray((ref.pose.inv() * key.pose).T, np.float64)
+    depth0 = jnp.asarray(np.asarray(key.depth_map))
+    var0 = 0.1 * jnp.ones((H, W))
+    age0 = jnp.ones((H, W), dtype=jnp.int32)
+
+    q0, q1 = 1.0 / 50.0, 1.0 / 2.0
+    bounds = plan_flow_bounds(T10, np.asarray(FOCAL), (W / 2, H / 2),
+                              (H, W), q0, q1)
+    assert bounds is not None
+
+    d_ref, v_ref = propagate(jnp.asarray(T10, jnp.float32), cam, cam,
+                             depth0, var0, default_depth=10.0,
+                             default_variance=1.0, uncertainty_bias=0.01)
+    a_ref = increment_age(age0, cam, cam, jnp.asarray(T10, jnp.float32),
+                          depth0)
+
+    d_t, v_t, a_t = propagate_tent(
+        jnp.asarray(T10, jnp.float32), cam, cam, depth0, var0, age0,
+        10.0, 1.0, 0.01, bounds)
+
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(a_ref))
+
+
+def test_propagate_tent_collisions():
+    """The tap-scatter path resolves collisions identically to the
+    scatter path (fuse-compatible / nearest-wins)."""
+    from tadataka_tpu.vo.semi_dense import propagate_tent
+
+    cam0 = CameraParameters.create((3.0, 3.0), (0.0, 0.0))
+    cam1 = CameraParameters.create((1.0, 1.0), (0.0, 0.0))
+    depth0 = jnp.asarray([[10.0, 10.5, 5.0, 50.0]], dtype=jnp.float32)
+    var0 = jnp.full((1, 4), 1e-4, dtype=jnp.float32)
+    age0 = jnp.asarray([[3, 1, 2, 5]], dtype=jnp.int32)
+
+    d_ref, v_ref = propagate(jnp.eye(4), cam0, cam1, depth0, var0,
+                             default_depth=7.0, default_variance=0.5,
+                             uncertainty_bias=0.0)
+    d_t, v_t, a_t = propagate_tent(jnp.eye(4), cam0, cam1, depth0, var0,
+                                   age0, 7.0, 0.5, 0.0, (-4, 0, 0, 0))
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_ref),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_ref),
+                               rtol=1e-5)
+    # age: max over arrivals per cell ([0,1]->cell0, [2,3]->cell1)
+    np.testing.assert_array_equal(np.asarray(a_t)[0, :2],
+                                  np.array([4, 6]))
