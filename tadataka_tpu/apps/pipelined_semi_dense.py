@@ -67,7 +67,7 @@ def _track_stage(cm, I0, D_track, V_track, I1, R_prev, t_prev, *, cfg):
 def _map_stage(cam, params, image, T10, T_wk, ref_frames, age0, D0, V0,
                *, plan, cfg, flow_bounds=None):
     """Mapper-device program: age + propagate + planned update + reg."""
-    do_reg, dd, dv, bias = cfg
+    do_reg, dd, dv, bias, fuse_prior = cfg
     if flow_bounds is not None:
         d1, v1, age1 = propagate_tent(T10, cam, cam, D0, V0, age0,
                                       dd, dv, bias, flow_bounds)
@@ -78,7 +78,8 @@ def _map_stage(cam, params, image, T10, T_wk, ref_frames, age0, D0, V0,
     refs = stack_frames(ref_frames)
     age_c = jnp.clip(age1, 0, refs.image.shape[0])
     d2, v2, flags = update_depth_fast(keyframe, refs, age_c, d1, v1,
-                                      params, plan=plan)
+                                      params, plan=plan,
+                                      fuse_prior=fuse_prior)
     if do_reg:
         d2 = regularize(d2, v2, flags)
     return age1, d2, v2, flags
@@ -105,7 +106,8 @@ class PipelinedSemiDenseVO:
                  uncertainty_bias=1.0, depth_range=(60.0, 1000.0),
                  history_size=4, n_coarse_to_fine=5,
                  regularize_depth=True, dvo_sample_budget=None,
-                 devices=None, seed=0, initial_pose_fn=None):
+                 devices=None, seed=0, initial_pose_fn=None,
+                 fuse_prior=True):
         self.camera_params = camera_params
         self.params = params or SemiDenseParams.create(
             depth_range[0], depth_range[1],
@@ -118,6 +120,7 @@ class PipelinedSemiDenseVO:
         self.history_size = history_size
         self.n_coarse_to_fine = n_coarse_to_fine
         self.regularize_depth = regularize_depth
+        self.fuse_prior = fuse_prior
         self.initial_pose_fn = initial_pose_fn
         self.seed = seed
         if dvo_sample_budget is None:
@@ -221,7 +224,8 @@ class PipelinedSemiDenseVO:
             prev.age_map, prev.depth_map, prev.variance_map,
             plan=plan,
             cfg=(self.regularize_depth, self.default_depth,
-                 self.default_variance, self.uncertainty_bias),
+                 self.default_variance, self.uncertainty_bias,
+                 self.fuse_prior),
             flow_bounds=bounds)
 
         # ship the completed map back to the tracker (consumed two frames

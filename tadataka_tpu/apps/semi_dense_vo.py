@@ -124,17 +124,18 @@ def _age_propagate_fn(cam, I1_u8, T10, D0, V0, age0, R_prev, t_prev,
 @partial(jax.jit, static_argnames=("plan", "cfg"))
 def _update_fn(cam, params, image, T_wk, ref_frames, age1, d1, v1,
                *, plan, cfg):
-    do_reg, n_ref_samples = cfg
+    do_reg, n_ref_samples, fuse_prior = cfg
     keyframe = make_frame(cam, image, T_wk)
     refs = stack_frames(ref_frames)
     age_c = jnp.clip(age1, 0, refs.image.shape[0])
     if plan is None:
         d2, v2, flags = update_depth(
             keyframe, refs, age_c, d1, v1, params,
-            n_ref_samples=n_ref_samples)
+            n_ref_samples=n_ref_samples, fuse_prior=fuse_prior)
     else:
         d2, v2, flags = update_depth_fast(
-            keyframe, refs, age_c, d1, v1, params, plan=plan)
+            keyframe, refs, age_c, d1, v1, params, plan=plan,
+            fuse_prior=fuse_prior)
     if do_reg:
         d2 = regularize(d2, v2, flags)
     return d2, v2, flags
@@ -166,7 +167,9 @@ class SemiDenseVO:
                  history_size=8, n_ref_samples=64,
                  n_coarse_to_fine=5, regularize_depth=True,
                  initial_pose_fn=None, seed=0,
-                 depth_update="fast", dvo_sample_budget=None):
+                 depth_update="fast", dvo_sample_budget=None,
+                 metrics=None, initial_depth_map=None,
+                 initial_variance_map=None, fuse_prior=True):
         """``initial_pose_fn(image0, image1) -> Pose`` optionally supplies
         the scale-ambiguous bootstrap pose for the second frame (the
         reference uses feature matching + essential estimation with a
@@ -175,7 +178,27 @@ class SemiDenseVO:
         ``depth_update``: "fast" routes the full-map update through the
         host-planned tent/rect plane sweeps (fast.plan_update_np);
         "scatter" forces the general vmapped estimator on every frame.
-        ``dvo_sample_budget``: see vo/dvo.py (None = 16 px on TPU)."""
+        ``dvo_sample_budget``: see vo/dvo.py (None = 16 px on TPU).
+        ``metrics``: optional utils.observability.MetricsLogger; every
+        frame logs the planner's decision (path, plane counts, warp
+        budgets, propagation tap bounds) so a silent fall to the 40x
+        slower scattered path is visible (VERDICT r4 item 8).
+
+        ``fuse_prior``: precision-weighted fusion of each frame's new
+        depth observation with the prior hypothesis (the LSD-SLAM depth
+        filter).  The reference REPLACES the hypothesis every frame
+        (semi_dense.rs:221-225), which lets small-baseline matching
+        noise erase accumulated estimates over long sequences; fusion is
+        the default here (set False for exact reference semantics).
+
+        ``initial_depth_map`` / ``initial_variance_map``: optional (H, W)
+        bootstrap prior (e.g. from a stereo pair, as the NewTsukuba
+        example does).  Without one the map initializes RANDOM in
+        ``depth_range`` — the reference's convention — but note that
+        frame-to-frame photometric tracking against a noisy bootstrap
+        map is weakly observable at narrow FOV (the optimum trades
+        translation for rotation; measured r5): prefer a real prior for
+        metric trajectories."""
         self.camera_params = camera_params
         self.params = params or SemiDenseParams.create(
             depth_range[0], depth_range[1],
@@ -189,7 +212,10 @@ class SemiDenseVO:
         self.n_ref_samples = n_ref_samples
         self.n_coarse_to_fine = n_coarse_to_fine
         self.regularize_depth = regularize_depth
+        self.fuse_prior = fuse_prior
         self.initial_pose_fn = initial_pose_fn
+        self.initial_depth_map = initial_depth_map
+        self.initial_variance_map = initial_variance_map
         self.seed = seed
         assert depth_update in ("fast", "scatter")
         self.depth_update = depth_update
@@ -237,6 +263,7 @@ class SemiDenseVO:
         self._uploader = ThreadPoolExecutor(max_workers=1)
         self._upload_futures = {}
         self._plan_cache = {}
+        self.metrics = metrics
 
     # ------------------------------------------------------- device steps
 
@@ -263,7 +290,8 @@ class SemiDenseVO:
         track_cfg = (self.n_coarse_to_fine, self.dvo_sample_budget,
                      self.default_depth, self.default_variance,
                      self.uncertainty_bias)
-        update_cfg = (self.regularize_depth, self.n_ref_samples)
+        update_cfg = (self.regularize_depth, self.n_ref_samples,
+                      self.fuse_prior)
         return lambda *args: _step_fn(
             cm, cam, params, *args[:-3], ref_frames=args[-3],
             track_cfg=track_cfg, update_cfg=update_cfg,
@@ -282,7 +310,7 @@ class SemiDenseVO:
     def _build_update(self):
         params = self.params
         cam = self.camera_params
-        cfg = (self.regularize_depth, self.n_ref_samples)
+        cfg = (self.regularize_depth, self.n_ref_samples, self.fuse_prior)
         return lambda image, T_wk, refs, age1, d1, v1, plan: _update_fn(
             cam, params, image, T_wk, refs, age1, d1, v1,
             plan=plan, cfg=cfg)
@@ -405,6 +433,18 @@ class SemiDenseVO:
                 refs, plan, self._flow_bounds())
             self._pending.append((self._frame_id, T10))
 
+        if self.metrics is not None:
+            fb = self._flow_bounds()
+            self.metrics.log_frame(
+                self._frame_id,
+                plan_path=plan.path if plan is not None else "scatter",
+                plan_n_planes=sum(plan.n_planes) if plan is not None else 0,
+                plan_max_budget=(max((max(b) if not isinstance(b, int)
+                                      else b) for b in plan.warp_budget)
+                                 if plan is not None and plan.warp_budget
+                                 else 0),
+                flow_taps=((fb[1] - fb[0] + 1) * (fb[3] - fb[2] + 1)
+                           if fb is not None else 0))
         self._push_refframe(
             SemiDenseFrame(jnp.asarray(self.camera_params.focal_length),
                            jnp.asarray(self.camera_params.offset),
@@ -420,9 +460,15 @@ class SemiDenseVO:
         H, W = image.shape
         self._image_shape = (H, W)
         rng = np.random.default_rng(self.seed)
-        depth = jnp.asarray(
-            rng.uniform(*self.depth_range, (H, W)).astype(np.float32))
-        variance = self.default_variance * jnp.ones((H, W))
+        if self.initial_depth_map is not None:
+            depth = jnp.asarray(self.initial_depth_map, jnp.float32)
+        else:
+            depth = jnp.asarray(
+                rng.uniform(*self.depth_range, (H, W)).astype(np.float32))
+        if self.initial_variance_map is not None:
+            variance = jnp.asarray(self.initial_variance_map, jnp.float32)
+        else:
+            variance = self.default_variance * jnp.ones((H, W))
         age = jnp.zeros((H, W), dtype=jnp.int32)
         pose_wc = Pose.identity()
         keyframe = make_frame(self.camera_params, image, pose_wc.T)

@@ -75,10 +75,11 @@ def run_ba(viewpoint_indices, point_indices, poses, points, keypoints_true,
         relative_error_threshold=relative_error_threshold)
 
     # ONE fetch for both outputs, host-side exp map
+    n_pose_vals = int(new_params.size)
     flat = np.asarray(jnp.concatenate([new_params.ravel(),
                                        new_points.ravel()]))
-    new_params = flat[:new_params.size].reshape(-1, 6)
-    new_points = flat[new_params.size * 6 // 6:].reshape(-1, 3)[:n_pts]
+    new_params = flat[:n_pose_vals].reshape(-1, 6)
+    new_points = flat[n_pose_vals:].reshape(-1, 3)[:n_pts]
     new_poses = [Pose(Rotation.from_rotvec(new_params[j, :3]).as_matrix()
                       .astype(np.float32), new_params[j, 3:])
                  for j in range(n_poses)]

@@ -96,6 +96,42 @@ def two_view_triangulation(pose0w, pose1w, keypoints0, keypoints1):
     return linear_triangulation(rotations, translations, keypoints)
 
 
+def pairwise_triangulation(R0, t0, R1, t1, keypoints0, keypoints1):
+    """Two-view DLT with a DIFFERENT first pose per row: R0/t0 are
+    (N, 3, 3)/(N, 3) world->camera, R1/t1 shared (3, 3)/(3,).
+
+    The feature-VO driver triangulates fresh matches against several
+    keyframes at once; one batched program over all of them replaces one
+    dispatch per keyframe (~5 ms each through the remote tunnel).
+    Returns (points (N, 3), depths (2, N)) like `two_view_triangulation`.
+    """
+    N = keypoints0.shape[0]
+
+    def rows(R, t, kp):
+        r2 = R[:, 2, :]                                  # (N, 3)
+        t2 = t[:, 2]
+        rows_xy = (kp[..., None] * r2[:, None, :]
+                   - R[:, :2, :])                        # (N, 2, 3)
+        cols = kp * t2[:, None] - t[:, :2]               # (N, 2)
+        return jnp.concatenate([rows_xy, cols[..., None]], axis=-1)
+
+    R1b = jnp.broadcast_to(R1, (N, 3, 3))
+    t1b = jnp.broadcast_to(t1, (N, 3))
+    A = jnp.concatenate([rows(R0, t0, keypoints0),
+                         rows(R1b, t1b, keypoints1)], axis=1)  # (N, 4, 4)
+    _, _, vh = jnp.linalg.svd(A)
+    X = vh[:, -1, :]
+    w = X[:, 3]
+    degenerate = jnp.abs(w) < 1e-12
+    safe_w = jnp.where(degenerate, 1.0, w)
+    points = X[:, :3] / safe_w[:, None]
+    points = jnp.where(degenerate[:, None], jnp.inf, points)
+    d0 = jnp.einsum('nd,nd->n', R0[:, 2, :], points) + t0[:, 2]
+    d1 = points @ R1[2] + t1[2]
+    depths = jnp.stack([d0, d1])
+    return points, jnp.where(degenerate[None, :], jnp.nan, depths)
+
+
 def depths_from_triangulation(pose0, pose1, keypoint0, keypoint1):
     """Solve [R0^T y0 | -R1^T y1] d = R0^T t0 - R1^T t1 for (depth0, depth1).
 

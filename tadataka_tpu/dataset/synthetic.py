@@ -210,3 +210,128 @@ def export_tum_scene(root, n_frames=4, which_freiburg=1,
     (root / "depth.txt").write_text("\n".join(lines_depth) + "\n")
     (root / "groundtruth.txt").write_text("\n".join(lines_gt) + "\n")
     return poses
+
+
+def export_euroc_scene(root, n_frames=5, image_shape=(240, 320),
+                       baseline=0.11):
+    """Render a textured stereo sequence and write it to ``root`` in real
+    EuRoC MAV format: cam0/cam1 sensor.yaml (intrinsics + RadTan
+    distortion + T_BS body-frame extrinsics), timestamped data.csv image
+    listings, and a state_groundtruth_estimate0 body-pose csv — the full
+    ingestion surface of dataset/euroc.py
+    (/root/reference/tadataka/dataset/euroc.py:28-112).
+
+    The reference's committed euroc fixture holds all-zero 30x40
+    placeholder images (loader-test only, like the TUM one), so
+    pipeline-level EuRoC evaluation renders through this exporter: the
+    yaml intrinsics, the 4-coefficient RadTan distortion, and the
+    ``T_wc = T_wb @ T_BS`` body-frame composition are all exercised in
+    anger.  Both cameras share one (non-trivial) body-frame rotation so
+    the pair stays a laterally-rectified stereo rig with the given
+    ``baseline`` along the camera x axis.
+
+    Ground-truth (image, depth) pairs for every cam0 frame are saved
+    under ``root/debug_gt/`` (NOT part of the EuRoC format; for tests).
+    Returns the list of body->world Poses.
+    """
+    from pathlib import Path
+    from scipy.spatial.transform import Rotation
+
+    from tadataka_tpu.dataset.image_io import imsave
+    from tadataka_tpu.camera import RadTan
+
+    H, W = image_shape
+    root = Path(root)
+    focal = (0.7 * W, 0.7 * W)
+    offset = (W / 2.0 + 3.0, H / 2.0 - 2.0)
+    dist = [-0.08, 0.01, 5e-5, 1e-5]       # EuRoC-like RadTan (k1 k2 p1 p2)
+
+    # one shared body->camera rotation (small tilt: exercises the T_BS
+    # composition without breaking lateral-stereo rectification)
+    R_bc = Rotation.from_rotvec([0.02, -0.03, 0.01]).as_matrix()
+    T_bc0 = np.eye(4)
+    T_bc0[:3, :3] = R_bc
+    T_bc0[:3, 3] = [0.015, -0.01, 0.005]
+    T_bc1 = T_bc0.copy()
+    # baseline along the CAMERA x axis, expressed in the body frame
+    T_bc1[:3, 3] = T_bc0[:3, 3] + R_bc @ np.array([baseline, 0.0, 0.0])
+
+    cam_model = CameraModel.create(
+        CameraParameters.create(focal, offset), RadTan.create(dist))
+
+    def write_cam(idx, T_bc):
+        d = root / f"cam{idx}"
+        (d / "data").mkdir(parents=True, exist_ok=True)
+        yaml_text = (
+            "sensor_type: camera\n"
+            f"intrinsics: [{focal[0]}, {focal[1]}, "
+            f"{offset[0]}, {offset[1]}]\n"
+            "distortion_model: radial-tangential\n"
+            f"distortion_coefficients: [{dist[0]}, {dist[1]}, "
+            f"{dist[2]}, {dist[3]}]\n"
+            "T_BS:\n"
+            "  rows: 4\n  cols: 4\n"
+            "  data: [" + ", ".join(
+                f"{v:.9f}" for v in T_bc.ravel()) + "]\n")
+        (d / "sensor.yaml").write_text(yaml_text)
+        return d
+
+    d0 = write_cam(0, T_bc0)
+    d1 = write_cam(1, T_bc1)
+    gt_dir = root / "debug_gt"
+    gt_dir.mkdir(exist_ok=True)
+    (root / "state_groundtruth_estimate0").mkdir(exist_ok=True)
+
+    body_poses = [Pose.from_rotvec(
+        jnp.asarray([0.004 * i, 0.006 * i, 0.002 * i], jnp.float32),
+        jnp.asarray([0.04 * i, 0.015 * i, 0.01 * i], jnp.float32))
+        for i in range(n_frames)]
+
+    rows0, rows1, rows_gt = [], [], []
+    for i, pose_wb in enumerate(body_poses):
+        ts = 1403636579763555584 + i * 50000000      # EuRoC-style ns
+        T_wb = np.eye(4)
+        T_wb[:3, :3] = np.asarray(pose_wb.R)
+        T_wb[:3, 3] = np.asarray(pose_wb.t)
+        for cam_i, (d, T_bc, rows) in enumerate(
+                [(d0, T_bc0, rows0), (d1, T_bc1, rows1)]):
+            T_wc = T_wb @ T_bc
+            pose_wc = Pose(jnp.asarray(T_wc[:3, :3], jnp.float32),
+                           jnp.asarray(T_wc[:3, 3], jnp.float32))
+            # non-coplanar structure (plane boundaries make FAST corners
+            # and keep PnP well-posed) + a high-frequency texture: this
+            # rig's FOV is narrow, so the default texture is too smooth
+            # at the pixel scale for corner detection
+            def sharp(X, Y):
+                v = (jnp.sin(9.0 * X) * jnp.cos(11.0 * Y)
+                     + 0.6 * jnp.sin(23.0 * X + 0.7)
+                     * jnp.sin(19.0 * Y + 1.1)
+                     + 0.4 * jnp.cos(41.0 * X - 1.9)
+                     * jnp.cos(37.0 * Y + 0.3)
+                     + 0.3 * jnp.sin(83.0 * X + 2.7)
+                     * jnp.cos(71.0 * Y - 0.8))
+                return 0.5 + 0.2 * v
+
+            image, depth = render_plane_scene(
+                cam_model, pose_wc, image_shape, texture=sharp,
+                planes=[((0.0, 0.0, 2.5), (0.06, -0.04, -1.0)),
+                        ((-0.5, 0.0, 1.9), (0.5, 0.0, -1.0)),
+                        ((0.5, 0.3, 2.1), (-0.45, -0.25, -1.0))])
+            u8 = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+            imsave(d / "data" / f"{ts}.png", u8)
+            rows.append(f"{ts},{ts}.png")
+            if cam_i == 0:
+                np.savez(gt_dir / f"{i}.npz", image=np.asarray(image),
+                         depth=np.asarray(depth))
+        q = Rotation.from_matrix(T_wb[:3, :3]).as_quat()  # xyzw
+        p = T_wb[:3, 3]
+        rows_gt.append(
+            f"{ts},{p[0]},{p[1]},{p[2]},{q[3]},{q[0]},{q[1]},{q[2]}"
+            ",0,0,0,0,0,0,0,0,0")
+    (d0 / "data.csv").write_text(
+        "#timestamp [ns],filename\n" + "\n".join(rows0) + "\n")
+    (d1 / "data.csv").write_text(
+        "#timestamp [ns],filename\n" + "\n".join(rows1) + "\n")
+    (root / "state_groundtruth_estimate0" / "data.csv").write_text(
+        "#timestamp,px,py,pz,qw,qx,qy,qz,...\n" + "\n".join(rows_gt) + "\n")
+    return body_poses

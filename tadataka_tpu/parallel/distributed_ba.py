@@ -203,7 +203,7 @@ def distributed_lm_solve(mesh, poses, points, viewpoint_indices,
         mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P(AXIS), P()),
-        check_vma=False,
+        check_vma=True,
     ))
 
     new_poses, new_points_pad, err = spmd(

@@ -62,16 +62,30 @@ def make_host_mesh(intra_axis="shard", inter_axis="host"):
 
     Single-host processes get a (1, n_local) mesh, so code written
     against this layout runs unchanged in CI.
+
+    Devices are grouped EXPLICITLY by ``process_index`` (ADVICE r4: a
+    bare reshape assumes jax.devices() orders contiguously by process,
+    which device-id ordering does not guarantee on all topologies — a
+    straddled row would put the per-iteration collectives on DCN).
     """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     n_local = jax.local_device_count()
-    devices = np.asarray(jax.devices()).reshape(-1, n_local)
+    devices = np.asarray(devs).reshape(-1, n_local)
+    for row in devices:
+        assert len({d.process_index for d in row}) == 1, (
+            "uneven devices per process")
     return jax.sharding.Mesh(devices, (inter_axis, intra_axis))
 
 
 def local_slice(mesh, global_array_len, inter_axis="host"):
     """(start, length) of this host's block of an inter-host-sharded
-    leading axis (e.g. which frames of a sequence this host ingests)."""
+    leading axis (e.g. which frames of a sequence this host ingests).
+
+    The remainder of a non-divisible length goes one-each to the first
+    hosts (ADVICE r4: the floor division silently dropped the last
+    ``len % n_hosts`` items)."""
     n_hosts = mesh.shape[inter_axis]
     idx = jax.process_index()
-    per = global_array_len // n_hosts
-    return idx * per, per
+    per, rem = divmod(global_array_len, n_hosts)
+    start = idx * per + min(idx, rem)
+    return start, per + (1 if idx < rem else 0)

@@ -53,7 +53,7 @@ def make_sharded_update_depth(mesh, shape, n_ref_samples=DEFAULT_N_REF_SAMPLES):
         local, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis),
-        check_vma=False,
+        check_vma=True,
     ))
 
 
@@ -109,7 +109,7 @@ def make_sharded_update_sweep(mesh, shape, plan, regularize=True,
         in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
                   P()),
         out_specs=P(None, axis),
-        check_vma=False,
+        check_vma=True,
     ))
 
 

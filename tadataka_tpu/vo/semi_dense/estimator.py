@@ -591,12 +591,12 @@ def calc_key_epipole(T_wk, T_wr):
     return p_key[:2] / (p_key[2] + EPSILON)
 
 
-@partial(jax.jit, static_argnames=("n_ref_samples",))
+@partial(jax.jit, static_argnames=("n_ref_samples", "fuse_prior"))
 def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
                  age_map, prior_depth, prior_variance,
                  params: SemiDenseParams,
                  n_ref_samples: int = DEFAULT_N_REF_SAMPLES,
-                 row_offset=0):
+                 row_offset=0, fuse_prior=False):
     """Full-map inverse-depth update.
 
     keyframe: single frame; refframes: stacked history (leading axis R,
@@ -693,6 +693,16 @@ def update_depth(keyframe: SemiDenseFrame, refframes: SemiDenseFrame,
         keep_prior = jnp.logical_or(not_processed, prior_bad)
         inv_d = jnp.where(keep_prior, p_inv, inv_d)
         var = jnp.where(keep_prior, p_var, var)
+        if fuse_prior:
+            # LSD-SLAM depth-filter update: fuse the new observation with
+            # the prior instead of replacing it (see sweep.py::
+            # postprocess_map — the reference replaces, which degrades
+            # the map toward single-frame matching noise)
+            from tadataka_tpu.vo.semi_dense.fusion import fusion
+            f_mu, f_var = fusion(inv_d, p_inv, var, p_var)
+            succ = flag == jnp.int32(Flag.SUCCESS)
+            inv_d = jnp.where(succ, f_mu, inv_d)
+            var = jnp.where(succ, f_var, var)
         return safe_invert(inv_d), var, flag
 
     depth, variance, flags = jax.vmap(

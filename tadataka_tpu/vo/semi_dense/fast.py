@@ -318,7 +318,8 @@ def plan_update_np(key_T, key_f, key_c, image_shape,
 
 
 def update_depth_fast(keyframe, refframes, age_map, prior_depth,
-                      prior_variance, params, use_pallas=None, plan=None):
+                      prior_variance, params, use_pallas=None, plan=None,
+                      fuse_prior=False):
     """Dispatching semi-dense depth update; contract of
     estimator.update_depth (semi_dense.rs:160-237)."""
     from tadataka_tpu.vo.semi_dense.estimator import update_depth
@@ -331,12 +332,13 @@ def update_depth_fast(keyframe, refframes, age_map, prior_depth,
         return update_depth_rect(
             keyframe, refframes, age_map, prior_depth, prior_variance,
             params, n_planes=plan.n_planes[0], flips=plan.flips,
-            max_dx=RECT_MAX_DX, max_dy=RECT_MAX_DY, use_pallas=use_pallas)
+            max_dx=RECT_MAX_DX, max_dy=RECT_MAX_DY, use_pallas=use_pallas,
+            fuse_prior=fuse_prior)
     if plan.path == 'tent':
         return update_depth_sweep(
             keyframe, refframes, age_map, prior_depth, prior_variance,
             params, n_planes=plan.n_planes, use_pallas=use_pallas,
             warp_budget=plan.warp_budget, key_budget=KEY_BUDGET,
-            redirect=plan.redirect)
+            redirect=plan.redirect, fuse_prior=fuse_prior)
     return update_depth(keyframe, refframes, age_map, prior_depth,
-                        prior_variance, params)
+                        prior_variance, params, fuse_prior=fuse_prior)

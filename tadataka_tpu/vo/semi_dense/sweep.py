@@ -351,7 +351,7 @@ def _key_patch_stack(key_image, key_focal, step_size_map, dir_x_map,
 # ----------------------------------------------------- shared postprocess
 
 def postprocess_map(q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
-                    p_var, T_rk, age, *, params):
+                    p_var, T_rk, age, *, params, fuse_prior=False):
     """Stage C shared by the plane-sweep estimators, over the WHOLE map
     at once: depth / variance / flag arrays from the matched inverse
     depth ``q_m`` (semi_dense.rs:105-158, variance.rs).
@@ -447,8 +447,23 @@ def postprocess_map(q_m, nomatch, kgrad, ks, gx_v, gy_v, g, p_inv,
     flag = jnp.where(not_processed, jnp.int32(Flag.NOT_PROCESSED), flag)
 
     success = flag == jnp.int32(Flag.SUCCESS)
-    out_inv = jnp.where(success, new_inv_depth, p_inv)
-    out_var = jnp.where(success, variance, p_var)
+    if fuse_prior:
+        # LSD-SLAM-style depth-filter UPDATE: precision-weighted fusion
+        # of the new observation with the prior hypothesis.  The
+        # reference REPLACES the hypothesis (semi_dense.rs:221-225),
+        # which lets every frame's small-baseline matching noise
+        # overwrite an accumulated estimate — over tens of frames the
+        # map degrades toward single-frame noise and the photometric
+        # tracking scale collapses (r5 long-trajectory gate).  success
+        # implies the prior passed check_args, so the fusion inputs are
+        # valid.
+        from tadataka_tpu.vo.semi_dense.fusion import fusion
+        f_mu, f_var = fusion(new_inv_depth, p_inv, variance, p_var)
+        out_inv = jnp.where(success, f_mu, p_inv)
+        out_var = jnp.where(success, f_var, p_var)
+    else:
+        out_inv = jnp.where(success, new_inv_depth, p_inv)
+        out_var = jnp.where(success, variance, p_var)
     return safe_invert(out_inv), out_var, flag
 
 
@@ -476,12 +491,12 @@ def _budget_segments(b):
 
 
 @partial(jax.jit, static_argnames=("n_planes", "use_pallas", "warp_budget",
-                                   "key_budget", "redirect"))
+                                   "key_budget", "redirect", "fuse_prior"))
 def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
                        prior_variance, params: SemiDenseParams,
                        n_planes=DEFAULT_N_PLANES, use_pallas=None,
                        warp_budget=0, key_budget: int = 0,
-                       redirect=None, col_offset=None):
+                       redirect=None, col_offset=None, fuse_prior=False):
     """Full-map inverse-depth update via plane sweep.
 
     Same contract as estimator.update_depth (semi_dense.rs:160-237):
@@ -749,7 +764,8 @@ def update_depth_sweep(keyframe, refframes, age_map, prior_depth,
     posts = [
         postprocess_map(q_star, no_match, kgrad_post, ks_post,
                         gx.ravel(), gy.ravel(), geo, prior_inv, prior_v,
-                        T_rk_all[r], age, params=params)
+                        T_rk_all[r], age, params=params,
+                        fuse_prior=fuse_prior)
         for r in active]
     depth, variance, flags = (_select_active(*[p[i] for p in posts])
                               for i in range(3))

@@ -82,14 +82,14 @@ def _key_template(key_rect, fill=-1.0):
 
 @partial(jax.jit,
          static_argnames=("n_planes", "flips", "max_dx", "max_dy",
-                          "use_pallas"))
+                          "use_pallas", "fuse_prior"))
 def update_depth_rect(keyframe, refframes, age_map, prior_depth,
                       prior_variance, params: SemiDenseParams,
                       n_planes: int = DEFAULT_N_PLANES,
                       flips=(False,),
                       max_dx: int = DEFAULT_MAX_DX,
                       max_dy: int = DEFAULT_MAX_DY,
-                      use_pallas=None):
+                      use_pallas=None, fuse_prior=False):
     """Full-map inverse-depth update via rectified disparity sweep.
 
     Same contract as estimator.update_depth (semi_dense.rs:160-237).
@@ -260,7 +260,8 @@ def update_depth_rect(keyframe, refframes, age_map, prior_depth,
     posts = [
         postprocess_map(q_star, no_match, kgrad_post, ks_post,
                         gx.ravel(), gy.ravel(), geo, prior_inv, prior_v,
-                        T_rk_all[r], age, params=params)
+                        T_rk_all[r], age, params=params,
+                        fuse_prior=fuse_prior)
         for r in range(R_frames)]
     depth, variance, flags = (_select_ref(*[p[i] for p in posts])
                               for i in range(3))

@@ -333,3 +333,29 @@ def test_fast_path_full_map_matches_scatter_quality(
     # subpixel parabolic refinement should beat the scattered path's
     # ~10 cm median (its 64-sample quantization) on the same pair
     assert np.median(err) < 12.0, np.median(err)
+
+
+def test_semi_dense_vo_app_stays_on_fast_path(tsukuba_dataset):
+    """Drive SemiDenseVO over the real clip with a MetricsLogger and
+    assert the planner NEVER silently falls to the ~40x slower scattered
+    path (VERDICT r4 item 8: plan decisions must be observable)."""
+    from tadataka_tpu.apps.semi_dense_vo import SemiDenseVO
+    from tadataka_tpu.core.pose import Pose
+    from tadataka_tpu.utils.observability import MetricsLogger
+
+    frames = [tsukuba_dataset[i][0] for i in range(len(tsukuba_dataset))]
+    gt10 = Pose.from_matrix(
+        np.linalg.inv(np.asarray(frames[1].pose.T))
+        @ np.asarray(frames[0].pose.T))
+    metrics = MetricsLogger()
+    vo = SemiDenseVO(tsukuba_dataset.camera_model.camera_parameters,
+                     history_size=4,
+                     initial_pose_fn=lambda a, b: gt10,
+                     metrics=metrics)
+    for f in frames:
+        vo.estimate(f)
+    paths = [r["plan_path"] for r in metrics.records]
+    assert len(paths) == len(frames) - 1
+    assert all(p in ("tent", "rect") for p in paths), paths
+    # the decision detail is logged too
+    assert all(r["plan_n_planes"] > 0 for r in metrics.records)
